@@ -1,0 +1,81 @@
+package graft
+
+import graft.cdc.{CdcPipeline, PipelineOptions}
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.model.Schemas
+import graft.table.SnapTable
+import org.apache.spark.sql.functions._
+
+/**
+ * spark-submit entry point (the rebuild of the reference's
+ * `python datax.py job.json` -> Engine.main flow, reference:
+ * core/src/main/java/com/alibaba/datax/core/Engine.java:201-221).
+ *
+ * Subcommands:
+ *   gen    --out DIR [--events N] [--convs N] [--chunks N] [--seed N]
+ *   ingest --changelog DIR --table DIR [--checkpoint DIR] [--mode stream|batch]
+ *          [--buckets N] [--max-files-per-trigger N]
+ *   show   --table DIR [--limit N]
+ *   lineage --table DIR
+ */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: gen|ingest|show|lineage ..."); sys.exit(2) }
+    val opts = parseArgs(args)
+    val spark = GraftSession.get(opts.get("cores").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors()))
+    try args(0) match {
+      case "gen" =>
+        val cfg = GenConfig(
+          seed = opts.getOrElse("seed", "42").toLong,
+          numEvents = opts.getOrElse("events", "100000").toLong,
+          numConvs = opts.getOrElse("convs", "1000").toInt,
+          chunks = opts.getOrElse("chunks", "10").toInt)
+        val dirs = ChangeStreamGen.writeChangelog(spark, cfg, opts("out"))
+        println(s"wrote ${dirs.size} chunks to ${opts("out")}")
+
+      case "ingest" =>
+        val tableDir = opts("table")
+        val table =
+          if (new java.io.File(s"$tableDir/meta").exists) SnapTable.load(spark, tableDir)
+          else SnapTable.create(spark, tableDir, Schemas.payloadV1,
+            numBuckets = opts.getOrElse("buckets", "32").toInt)
+        val pOpts = PipelineOptions(
+          maxFilesPerTrigger = opts.getOrElse("max-files-per-trigger", "8").toInt)
+        opts.getOrElse("mode", "stream") match {
+          case "batch" =>
+            val rec = CdcPipeline.replayBatch(spark, opts("changelog"), table, pOpts)
+            println(s"batch replay: $rec")
+          case "stream" =>
+            val q = CdcPipeline.stream(spark, opts("changelog"), table,
+              opts.getOrElse("checkpoint", s"$tableDir/_checkpoint"), pOpts)
+            q.awaitTermination()
+            println(s"stream done: version=${table.currentVersion} rows=${table.snapshot().rows}")
+        }
+
+      case "show" =>
+        val table = SnapTable.load(spark, opts("table"))
+        val df = table.read(spark).orderBy("conv_id", "turn_idx")
+        println(s"version=${table.currentVersion} liveRows=${df.count()}")
+        df.show(opts.getOrElse("limit", "10").toInt, truncate = 60)
+
+      case "lineage" =>
+        val table = SnapTable.load(spark, opts("table"))
+        CdcPipeline.readLineage(spark, table).foreach { l =>
+          println(f"epoch=${l.epoch}%3d result=${l.result}%-14s in=${l.rowsIn}%7d " +
+            f"dirty=${l.rowsDirty}%4d applied=${l.rowsApplied}%7d " +
+            f"buckets=${l.bucketsRewritten}%3d latencyMs=${l.mergeLatencyMs}%6d " +
+            s"partitions=${l.partitions.map(p => s"p${p.partition}:[${p.minLsn},${p.maxLsn}]x${p.rows}").mkString(",")}")
+        }
+
+      case other =>
+        System.err.println(s"unknown subcommand '$other'"); sys.exit(2)
+    } finally spark.stop()
+  }
+}

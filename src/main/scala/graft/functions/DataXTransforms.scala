@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Capability-parity layer for the reference's per-record transform chain
+ * (reference: transformer chain exec core/.../transport/exchanger/
+ * TransformerExchanger.java:53-127; UDF docs transformer/doc/transformer.md:
+ * 11-87). Each dx_* becomes a Catalyst `Column` expression — codegen'd,
+ * vectorizable, no UDF in the hot path.
+ *
+ * Semantic quirks preserved (SURVEY.md §7.4 risk 5):
+ *  - dx_substr: null passes through; start beyond string length is an error
+ *    in the reference (routes to dirty) — here surfaced as null + a dirty
+ *    rule, composable with [[graft.cdc.Dirty]];
+ *  - dx_pad: null treated as "" and padded (reference PadTransformer.java:15-91);
+ *    over-long input truncated to `len`;
+ *  - dx_replace: splice semantics (prefix + replacement + suffix past
+ *    start+len), reference ReplaceTransformer.java:15-66;
+ *  - dx_filter: DataX's null rules are NOT SQL 3VL (reference
+ *    FilterTransformer.java:74-77, 134-137, 205-212, 255-262): range
+ *    operators never match null; `= "null"` matches only null; like/not-like
+ *    are full-match Java regex on the string form.
+ */
+object DataXTransforms {
+
+  /** dx_substr(col, startIdx, length) — 0-based like the reference. Returns
+    * null for null input; null (dirty) when startIdx > length(str). */
+  def dxSubstr(c: Column, startIdx: Int, len: Int): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .when(length(c) < startIdx, lit(null).cast("string"))
+      .otherwise(substring(c, startIdx + 1, len))
+
+  /** Rows dx_substr would route to the dirty channel. */
+  def dxSubstrDirty(c: Column, startIdx: Int): Column = c.isNotNull && length(c) < startIdx
+
+  /** dx_pad(col, "l"|"r", len, padStr): null -> "", truncate over-long. */
+  def dxPad(c: Column, leftOrRight: String, len: Int, padStr: String): Column = {
+    val s = coalesce(c, lit(""))
+    val padded = leftOrRight.toLowerCase match {
+      case "l" => lpad(s, len, padStr)
+      case "r" => rpad(s, len, padStr)
+      case other => throw new IllegalArgumentException(s"dx_pad mode '$other'")
+    }
+    padded
+  }
+
+  /** dx_replace(col, startIdx, length, replaceStr) — splice-replace. */
+  def dxReplace(c: Column, startIdx: Int, len: Int, replaceStr: String): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        substring(c, 1, startIdx),
+        lit(replaceStr),
+        when(length(c) > startIdx + len, substring(c, startIdx + len + 1, Int.MaxValue))
+          .otherwise(lit(""))))
+
+  /** dx_filter predicate: TRUE means the row is DROPPED (the reference drops
+    * on match). Use as `df.filter(!dxFilterPred(...))` to keep survivors. */
+  def dxFilterPred(c: Column, op: String, value: String): Column = op match {
+    case "like" =>
+      // Java-regex FULL match on the string form; null never matches.
+      c.isNotNull && regexp_like(c.cast("string"), lit(s"^(?:$value)$$"))
+    case "not like" =>
+      c.isNotNull && !regexp_like(c.cast("string"), lit(s"^(?:$value)$$"))
+    case "=" =>
+      // `= "null"` matches only SQL null (FilterTransformer.java:74-77).
+      if (value == "null") c.isNull else c.isNotNull && c.cast("string") === value
+    case "!=" =>
+      if (value == "null") c.isNotNull else c.isNotNull && c.cast("string") =!= value
+    case ">" | "<" | ">=" | "<=" =>
+      // typed compare: numeric if both sides numeric, else string; null
+      // never participates in range compares (FilterTransformer.java:205-212).
+      val cmp =
+        if (scala.util.Try(value.toDouble).isSuccess)
+          (c.cast("double"), lit(value.toDouble))
+        else (c.cast("string"), lit(value))
+      val p = op match {
+        case ">" => cmp._1 > cmp._2
+        case "<" => cmp._1 < cmp._2
+        case ">=" => cmp._1 >= cmp._2
+        case "<=" => cmp._1 <= cmp._2
+      }
+      c.isNotNull && coalesce(p, lit(false))
+    case other => throw new IllegalArgumentException(s"dx_filter op '$other'")
+  }
+
+  /**
+   * ColumnCast string->timestamp ladder (reference: common/.../element/
+   * ColumnCast.java:87-117): try datetime format, then date, then time, then
+   * extraFormats — as one codegen'd coalesce of try-parses.
+   */
+  def castLadderTimestamp(c: Column,
+      datetimeFmt: String = "yyyy-MM-dd HH:mm:ss",
+      dateFmt: String = "yyyy-MM-dd",
+      timeFmt: String = "HH:mm:ss",
+      extraFormats: Seq[String] = Seq("yyyyMMdd", "yyyy/MM/dd")): Column = {
+    val fmts = Seq(datetimeFmt, dateFmt, timeFmt) ++ extraFormats
+    coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*)
+  }
+
+  /** LongColumn overflow semantics (reference: common/.../element/
+    * OverFlowUtil.java:23-37): values outside Long range are errors, not
+    * silent wraps. try_cast yields null -> routable to dirty. */
+  def checkedLong(c: Column): Column = c.try_cast("long")
+
+  /** Empty-string -> null on numeric write (reference:
+    * CommonRdbmsWriter.java:434-439). */
+  def emptyToNullNumeric(c: Column): Column =
+    when(trim(c.cast("string")) === "", lit(null)).otherwise(c).try_cast("double")
+
+  // ---- transform chain (job-config parity) --------------------------------
+
+  sealed trait Transform
+  final case class Substr(column: String, startIdx: Int, len: Int) extends Transform
+  final case class Pad(column: String, mode: String, len: Int, pad: String) extends Transform
+  final case class Replace(column: String, startIdx: Int, len: Int, rep: String) extends Transform
+  final case class Filter(column: String, op: String, value: String) extends Transform
+  /** dx_groovy parity: arbitrary row rewrite as a Column expression builder
+    * (the reference compiles user Groovy per job, reference:
+    * core/.../transformer/GroovyTransformer.java:17-91). */
+  final case class Custom(apply: DataFrame => DataFrame) extends Transform
+
+  /** Sequential fold over the chain, like TransformerExchanger: filters drop
+    * rows, scalar transforms rewrite one column. */
+  def applyChain(df: DataFrame, chain: Seq[Transform]): DataFrame =
+    chain.foldLeft(df) {
+      case (d, Substr(colName, s, l)) => d.withColumn(colName, dxSubstr(col(colName), s, l))
+      case (d, Pad(colName, m, l, p)) => d.withColumn(colName, dxPad(col(colName), m, l, p))
+      case (d, Replace(colName, s, l, r)) =>
+        d.withColumn(colName, dxReplace(col(colName), s, l, r))
+      case (d, Filter(colName, op, v)) => d.filter(!dxFilterPred(col(colName), op, v))
+      case (d, Custom(f)) => f(d)
+    }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale text deduplication operators for training-data pipelines.
+ * All stages are DataFrame-native (explode / groupBy / join) so they
+ * partition and shuffle like any relational plan: candidate generation is a
+ * bucket-join (shuffle proportional to candidate count, not n^2), and only
+ * the verify step touches full documents.
+ *
+ * Shingling is word-level k-grams; hashing uses xxhash64 with distinct seeds
+ * (deterministic across runs and cluster sizes).
+ */
+object TextDedup {
+
+  /** Exact dedup by content hash: one hash-groupBy, keeps the smallest id
+    * per group (deterministic canonical representative). */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-k-gram shingles per doc: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    // k-gram i = words[i..i+k): build via transform over index range, then
+    // explode distinct shingles. All inside codegen, no UDF.
+    val grams = expr(
+      s"""transform(sequence(0, greatest(size(split($textCol, '\\\\s+')) - $k, 0) - 1),
+         |  i -> concat_ws(' ', slice(split($textCol, '\\\\s+'), i + 1, $k)))""".stripMargin)
+    df.select(col(idCol), explode(array_distinct(
+        when(size(words) >= k, grams).otherwise(array(col(textCol))))).as("shingle"))
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs (the brute verify path and the
+   * oracle for the approximate variants): pairs (a < b) with
+   * |A ∩ B| / |A ∪ B| >= threshold, computed relationally —
+   * shingle-join to count intersections, then sizes via a broadcast join.
+   * At 100 TB this is only run on LSH candidates; standalone it is
+   * O(sum over shingle of df^2) and suits corpus slices.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col(idCol).as("a"), col("sz").as("sza"))), Seq("a"))
+      .join(broadcast(sizes.select(col(idCol).as("b"), col("sz").as("szb"))), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions, the
+    * min shingle hash. Returned long array column `sig`. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    // One row per (doc, shingle); aggregate all minhashes in a single
+    // groupBy pass: min over xxhash64(shingle, seed_i) for each i.
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /**
+   * MinHash-LSH near-dup pairs: signature -> bands -> band-hash bucket join
+   * -> exact-Jaccard verify. With (bands, rowsPerBand) = (64, 2) a pair at
+   * jaccard 0.5 is caught with prob 1-(1-0.25)^64 ≈ 1-1e-8: effectively
+   * exact above 0.5 while candidate generation stays a bucket equi-join
+   * (shuffle on band hash, never an n^2 product).
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val banded = sigs.select(col(idCol),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"hash(b, slice(sig, b * $r + 1, $r)))")).as(Seq("band", "bh")))
+    val l = banded.select(col(idCol).as("a"), col("band"), col("bh"))
+    val rj = banded.select(col(idCol).as("b"), col("band"), col("bh"))
+    val candidates = l.join(rj, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // Verify candidates with exact jaccard (join back full docs).
+    val docs = df.select(col(idCol), col(textCol))
+    val pairs = candidates
+      .join(docs.select(col(idCol).as("a"), col(textCol).as("ta")), Seq("a"))
+      .join(docs.select(col(idCol).as("b"), col(textCol).as("tb")), Seq("b"))
+    exactJaccardOnPairs(pairs, "ta", "tb", k)
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Exact word-k-gram jaccard of two text columns, per row (codegen'd array
+    * ops — used for the verify stage of LSH candidates). */
+  def exactJaccardOnPairs(pairs: DataFrame, ta: String, tb: String, k: Int): DataFrame = {
+    def grams(c: String) =
+      s"""array_distinct(case when size(split($c, '\\\\s+')) >= $k then
+         |  transform(sequence(0, size(split($c, '\\\\s+')) - $k),
+         |    i -> concat_ws(' ', slice(split($c, '\\\\s+'), i + 1, $k)))
+         |  else array($c) end)""".stripMargin
+    pairs
+      .withColumn("ga", expr(grams(ta)))
+      .withColumn("gb", expr(grams(tb)))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")))
+      .drop("ga", "gb", "inter", ta, tb)
+  }
+
+  /**
+   * 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
+   * hash bits; sign gives the fingerprint bit. Near-dups = fingerprints
+   * within `maxHamming`. Candidate generation partitions the 64 bits into
+   * `maxHamming + 1` chunks (pigeonhole: any pair within maxHamming agrees
+   * exactly on at least one chunk) and bucket-joins on (chunk, chunkBits).
+   */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // bit j contribution: +1 if bit set else -1; simhash bit j = sign(sum).
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), (0 until 64).map(j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sigs = simhash(df, idCol, textCol)
+    val keyed = sigs.select(col(idCol), col("simhash"),
+      posexplode(expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
+        s"shiftright(simhash, c * $bitsPer) & ${(1L << bitsPer) - 1})"))
+        .as(Seq("chunk", "ck")))
+    val l = keyed.select(col(idCol).as("a"), col("simhash").as("sa"), col("chunk"), col("ck"))
+    val r = keyed.select(col(idCol).as("b"), col("simhash").as("sb"), col("chunk"), col("ck"))
+    l.join(r, Seq("chunk", "ck")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,302 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+import java.nio.charset.StandardCharsets
+
+/** One committed table state: an immutable list of data files + schema. */
+final case class Snapshot(
+    version: Long,
+    parent: Long,
+    numBuckets: Int,
+    currentSchemaV: Int,
+    schemaVersions: Map[String, String], // schemaV -> DDL
+    files: Seq[DataFileEntry],
+    props: Map[String, String],
+    rows: Long) {
+  def schema: StructType = StructType.fromDDL(schemaVersions(currentSchemaV.toString))
+  def lastEpoch: Long = props.get(SnapTable.PropLastEpoch).map(_.toLong).getOrElse(-1L)
+}
+
+final case class DataFileEntry(path: String, bucket: Int, schemaV: Int, rows: Long)
+
+sealed trait MergeResult
+object MergeResult {
+  /** epoch already committed — replay skipped (exactly-once). */
+  case object SkippedEpoch extends MergeResult
+  final case class Committed(version: Long, rowsWritten: Long, bucketsRewritten: Int,
+      schemaEvolved: Boolean) extends MergeResult
+}
+
+/**
+ * Iceberg-style snapshot table: parquet data files + JSON snapshot manifests
+ * + an atomically-swapped current-version pointer. Built from scratch (no
+ * Iceberg jar in this environment) but with the same guarantees the north
+ * star asks of Iceberg:
+ *
+ *  - **Snapshot isolation / atomic commit** — a commit is: write the data
+ *    files, write `meta/snap-<v>.json`, atomically swap `meta/_current`.
+ *    Readers resolve the pointer once and only ever see a fully committed
+ *    file list. (Reference analogue: HdfsWriter's temp-dir + rename two-phase
+ *    commit, reference: hdfswriter/.../HdfsWriter.java:190-191, 288-321, and
+ *    OdpsWriter's disjoint block-id commit, odpswriter/.../OdpsWriter.java:
+ *    158-160.)
+ *  - **Exactly-once upsert** — `merge(batch, epoch)` records the epoch in the
+ *    snapshot properties *in the same commit* as the data; a replayed epoch
+ *    (<= lastEpoch) is a no-op. (Reference analogue: shard checkpoint
+ *    `(shardIterator, skipCount, version)`, otsstreamreader/.../model/
+ *    ShardCheckpoint.java:8-118.)
+ *  - **Schema evolution** — new nullable columns and numeric widening are
+ *    merged into the table schema at merge time; old files keep their
+ *    physical schema and are aligned lazily at read (per-file-group schema
+ *    versions), exactly like Iceberg's lazy evolution. No data rewrite.
+ *  - **MERGE INTO semantics** — last-writer-wins by (ts, lsn) between stored
+ *    rows and the incoming batch; `op='D'` winners become tombstones
+ *    (retained, filtered at read) so a delete can never be undone by a late
+ *    out-of-order update — the monotone-merge rule of SURVEY.md §7.4.
+ *
+ * Scale design: data files are hash-bucketed on the merge key (`numBuckets`,
+ * thousands in production). A merge rewrites ONLY the buckets the batch
+ * touches (copy-on-write at bucket granularity), and the bucket column is
+ * both the shuffle key and the file layout, so merge shuffle and file IO are
+ * proportional to the touched fraction, not table size.
+ */
+final class SnapTable private (val root: String, fs: FileSystem) {
+  import SnapTable._
+
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  // ---- metadata IO --------------------------------------------------------
+
+  private def metaDir = new Path(root, "meta")
+  private def snapPath(v: Long) = new Path(metaDir, f"snap-$v%08d.json")
+  private def currentPtr = new Path(metaDir, "_current")
+
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Current version: pointer file, else (crash between delete+rename)
+    * recover as the max committed snapshot file. */
+  def currentVersion: Long =
+    if (fs.exists(currentPtr)) readString(currentPtr).trim.toLong
+    else {
+      val snaps = Option(fs.globStatus(new Path(metaDir, "snap-*.json"))).getOrElse(Array())
+      if (snaps.isEmpty) 0L
+      else snaps.map(_.getPath.getName.stripPrefix("snap-").stripSuffix(".json").toLong).max
+    }
+
+  def snapshot(version: Long = currentVersion): Snapshot =
+    Serialization.read[Snapshot](readString(snapPath(version)))
+
+  def history: Seq[Long] =
+    Option(fs.globStatus(new Path(metaDir, "snap-*.json"))).getOrElse(Array())
+      .map(_.getPath.getName.stripPrefix("snap-").stripSuffix(".json").toLong).sorted.toSeq
+
+  private[table] def commit(s: Snapshot): Unit = {
+    val p = snapPath(s.version)
+    require(!fs.exists(p), s"snapshot ${s.version} already exists (concurrent writer?)")
+    writeString(p, Serialization.write(s))
+    val tmp = new Path(metaDir, s"_current.tmp-${s.version}")
+    writeString(tmp, s.version.toString)
+    // HDFS rename is atomic; the delete+rename window is covered by the
+    // max-snapshot fallback in currentVersion.
+    if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
+    require(fs.rename(tmp, currentPtr), s"failed to swap $currentPtr")
+  }
+
+  // ---- read path ----------------------------------------------------------
+
+  private def bucketExpr(numBuckets: Int) =
+    pmod(xxhash64(Schemas.keyCols.map(col): _*), lit(numBuckets)).cast("int")
+
+  /** Read the given files, aligning every physical schema generation to the
+    * target schema (missing columns -> null, widened types -> cast). */
+  private def readAligned(spark: SparkSession, snap: Snapshot,
+      files: Seq[DataFileEntry], target: StructType): DataFrame = {
+    if (files.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    val bySchema = files.groupBy(_.schemaV)
+    bySchema.map { case (sv, fe) =>
+      val physical = StructType.fromDDL(snap.schemaVersions(sv.toString))
+      val df = spark.read.schema(physical).parquet(fe.map(f => s"$root/${f.path}"): _*)
+      SchemaEvolution.align(df, target)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Current live rows (tombstones filtered, envelope retained for lineage). */
+  def readRaw(spark: SparkSession): DataFrame = {
+    val snap = snapshot()
+    readAligned(spark, snap, snap.files, snap.schema)
+  }
+
+  /** User-facing state: tombstones dropped. */
+  def read(spark: SparkSession): DataFrame = readRaw(spark).filter(col("op") =!= "D").drop("op")
+
+  /** Time travel. */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val snap = snapshot(version)
+    readAligned(spark, snap, snap.files, snap.schema).filter(col("op") =!= "D").drop("op")
+  }
+
+  def committedEpoch: Long = if (currentVersion == 0) -1L else snapshot().lastEpoch
+
+  // ---- MERGE --------------------------------------------------------------
+
+  /**
+   * LWW MERGE of a change batch (envelope columns required: ts, lsn, op).
+   * Equivalent Iceberg SQL (SURVEY.md §3.3):
+   *   MERGE INTO t USING batch s ON t.conv_id=s.conv_id AND t.turn_idx=s.turn_idx
+   *   WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t.lsn) THEN UPDATE SET *
+   *   WHEN NOT MATCHED THEN INSERT *        -- deletes become tombstones
+   */
+  def merge(batch: DataFrame, epoch: Long): MergeResult = {
+    val spark = batch.sparkSession
+    val snap = snapshot()
+    if (epoch <= snap.lastEpoch) return MergeResult.SkippedEpoch
+
+    // 1. schema evolution (driver-side, before any executor plan binds —
+    //    SURVEY.md §7.4 risk 4).
+    val tableSchema = snap.schema
+    val target = SchemaEvolution.merge(tableSchema, batch.schema)
+    val evolved = target.toDDL != tableSchema.toDDL
+    val schemaVersions =
+      if (evolved) snap.schemaVersions + ((snap.currentSchemaV + 1).toString -> target.toDDL)
+      else snap.schemaVersions
+    val newSchemaV = if (evolved) snap.currentSchemaV + 1 else snap.currentSchemaV
+
+    val aligned = SchemaEvolution.align(batch, target)
+      .withColumn(BucketCol, bucketExpr(snap.numBuckets))
+
+    // 2. copy-on-write only the touched buckets.
+    val touched = aligned.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    val (rewrite, keep) = snap.files.partition(f => touched(f.bucket))
+    val old = readAligned(spark, snap, rewrite, target)
+      .withColumn(BucketCol, bucketExpr(snap.numBuckets))
+
+    // 3. LWW winners among stored rows + batch. Spark's hash aggregate gives
+    //    map-side partial max_by for free (two-phase reduce); AQE skew-join
+    //    handles residual hot keys.
+    val unioned = old.unionByName(aligned)
+    val dataCols = target.fields.map(_.name)
+    val winners = unioned
+      .groupBy((Schemas.keyCols :+ BucketCol).map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
+      .select(col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n)): _*)
+
+    // 4. write one file group per touched bucket under this commit's dir.
+    val newVersion = snap.version + 1
+    val commitRel = f"data/c$newVersion%08d"
+    winners
+      .repartition(math.max(1, touched.size), col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+
+    // 5. manifest the written files (rows counted from parquet footers).
+    val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, newSchemaV)
+    val newRows = written.map(_.rows).sum + keep.map(_.rows).sum
+    commit(Snapshot(
+      version = newVersion,
+      parent = snap.version,
+      numBuckets = snap.numBuckets,
+      currentSchemaV = newSchemaV,
+      schemaVersions = schemaVersions,
+      files = keep ++ written,
+      props = snap.props + (PropLastEpoch -> epoch.toString),
+      rows = newRows))
+    MergeResult.Committed(newVersion, written.map(_.rows).sum, touched.size, evolved)
+  }
+
+  private def listBucketFiles(spark: SparkSession, abs: String, rel: String,
+      schemaV: Int): Seq[DataFileEntry] = {
+    val stats = Option(fs.globStatus(new Path(abs, s"$BucketCol=*/part-*")))
+      .getOrElse(Array()).toSeq
+    stats.map { st =>
+      val bucket = st.getPath.getParent.getName.stripPrefix(s"$BucketCol=").toInt
+      val rows = parquetRowCount(st.getPath)
+      DataFileEntry(s"$rel/$BucketCol=$bucket/${st.getPath.getName}", bucket, schemaV, rows)
+    }
+  }
+
+  private def parquetRowCount(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, fs.getConf))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Drop tombstones older than `lsnWatermark` by rewriting their buckets —
+    * the compaction that bounds tombstone retention. */
+  def expireTombstones(spark: SparkSession, lsnWatermark: Long): Long = {
+    val snap = snapshot()
+    val target = snap.schema
+    val all = readAligned(spark, snap, snap.files, target)
+    val expired = all.filter(col("op") === "D" && col("lsn") < lsnWatermark)
+    val n = expired.count()
+    if (n == 0) return 0
+    val buckets = expired.select(bucketExpr(snap.numBuckets).as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (rewrite, keep) = snap.files.partition(f => buckets(f.bucket))
+    val kept = readAligned(spark, snap, rewrite, target)
+      .filter(!(col("op") === "D" && col("lsn") < lsnWatermark))
+      .withColumn(BucketCol, bucketExpr(snap.numBuckets))
+    val newVersion = snap.version + 1
+    val commitRel = f"data/c$newVersion%08d"
+    kept.repartition(math.max(1, buckets.size), col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
+    commit(snap.copy(version = newVersion, parent = snap.version,
+      files = keep ++ written, rows = written.map(_.rows).sum + keep.map(_.rows).sum))
+    n
+  }
+}
+
+object SnapTable {
+  val BucketCol = "__bucket"
+  val PropLastEpoch = "graft.lastEpoch"
+
+  /** Key columns for merge/bucketing (fixed for the transcript table). */
+  object Schemas {
+    val keyCols: Seq[String] = graft.model.Schemas.mergeKeys
+  }
+
+  private def filesystem(root: String, spark: SparkSession): FileSystem =
+    new Path(root).getFileSystem(
+      if (spark == null) new Configuration() else spark.sessionState.newHadoopConf())
+
+  def create(spark: SparkSession, root: String, schema: StructType,
+      numBuckets: Int = 32): SnapTable = {
+    val fs = filesystem(root, spark)
+    val t = new SnapTable(root, fs)
+    fs.mkdirs(new Path(root, "meta"))
+    require(!fs.exists(new Path(new Path(root, "meta"), "snap-00000000.json")),
+      s"table already exists at $root")
+    val envelope = StructType(schema.fields ++
+      Seq("ts" -> TimestampType, "lsn" -> LongType, "op" -> StringType)
+        .filterNot { case (n, _) => schema.fieldNames.contains(n) }
+        .map { case (n, t0) => StructField(n, t0) })
+    t.commit(Snapshot(0L, -1L, numBuckets, 1,
+      Map("1" -> envelope.toDDL), Seq.empty, Map.empty, 0L))
+    t
+  }
+
+  def load(spark: SparkSession, root: String): SnapTable =
+    new SnapTable(root, filesystem(root, spark))
+}

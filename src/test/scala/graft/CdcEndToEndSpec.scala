@@ -1,0 +1,150 @@
+package graft
+
+import graft.cdc._
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.model.{ChangeEvent, Schemas}
+import graft.oracle.OracleReducer
+import graft.table.{MergeResult, SnapTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end conformance (SURVEY.md §7.2 minimum slice): deterministic
+ * change stream -> dirty gate -> LWW dedup -> snapshot-table MERGE, final
+ * state equal to the in-memory oracle under stable (conv_id, turn_idx)
+ * ordering with per-turn text equality.
+ */
+class CdcEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(numEvents = 20000, numConvs = 300, chunks = 6)
+
+  private def collectEvents(): Seq[ChangeEvent] =
+    ChangeStreamGen.events(spark, cfg).drop("pos").as[ChangeEvent].collect().toSeq
+
+  private def tableState(t: SnapTable): Seq[(String, Int, String)] =
+    t.read(spark).select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  private def oracleState(events: Seq[ChangeEvent]): Seq[(String, Int, String)] =
+    OracleReducer.reduce(events).map(e => (e.conv_id, e.turn_idx, e.text))
+
+  test("generator is deterministic") {
+    val a = ChangeStreamGen.events(spark, cfg).orderBy("pos", "lsn").collect()
+    val b = ChangeStreamGen.events(spark, cfg).orderBy("pos", "lsn").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length > cfg.numEvents) // duplicates present
+  }
+
+  test("batch replay matches oracle") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val rec = CdcPipeline.replayBatch(spark, log, t)
+    assert(rec.result == "committed")
+    val expected = oracleState(collectEvents())
+    val got = tableState(t)
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
+  test("streaming replay in chunked epochs matches oracle; lineage emitted") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val q = CdcPipeline.stream(spark, log, t, tmpDir("ckpt"),
+      PipelineOptions(maxFilesPerTrigger = 2))
+    q.awaitTermination()
+    assert(tableState(t) == oracleState(collectEvents()))
+    val lineage = CdcPipeline.readLineage(spark, t)
+    assert(lineage.nonEmpty)
+    assert(lineage.map(_.rowsIn).sum > cfg.numEvents)
+    assert(lineage.forall(l => l.partitions.forall(p => p.minLsn <= p.maxLsn)))
+  }
+
+  test("epoch replay is idempotent (exactly-once)") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    CdcPipeline.replayBatch(spark, log, t, epoch = 0L)
+    val v1 = t.currentVersion
+    val before = tableState(t)
+    // Re-apply the same epoch: must be skipped without a new snapshot.
+    val rec = CdcPipeline.replayBatch(spark, log, t, epoch = 0L)
+    assert(rec.result == "skipped_epoch")
+    assert(t.currentVersion == v1)
+    assert(tableState(t) == before)
+  }
+
+  test("crash-resume: restart from checkpoint completes with no double-apply") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val ckpt = tmpDir("ckpt")
+    // Run only the first few micro-batches, then "crash".
+    val q1 = CdcPipeline.stream(spark, log, t, ckpt, PipelineOptions(maxFilesPerTrigger = 1))
+    var waited = 0
+    while (t.currentVersion < 2 && waited < 600) { Thread.sleep(100); waited += 1 }
+    q1.stop(); q1.awaitTermination()
+    val midVersion = t.currentVersion
+    assert(midVersion >= 1 && midVersion < cfg.chunks, s"mid-stream stop at $midVersion")
+    // Restart from the same checkpoint: must finish and match the oracle.
+    val q2 = CdcPipeline.stream(spark, log, t, ckpt, PipelineOptions(maxFilesPerTrigger = 1))
+    q2.awaitTermination()
+    assert(tableState(t) == oracleState(collectEvents()))
+    // No epoch applied twice.
+    val lineage = CdcPipeline.readLineage(spark, t)
+    val committed = lineage.filter(_.result == "committed").map(_.epoch)
+    assert(committed.distinct.size == committed.size)
+  }
+
+  test("schema evolution mid-stream: tool column appears, old rows read as null") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    // Start the table on the PRE-evolution schema (no `tool`): the stream
+    // itself must widen it.
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV1, numBuckets = 16)
+    CdcPipeline.replayBatch(spark, log, t)
+    val sch = t.read(spark).schema
+    assert(sch.fieldNames.contains("tool"))
+    val withTool = t.read(spark).filter(col("tool").isNotNull).count()
+    assert(withTool > 0)
+    assert(tableState(t) == oracleState(collectEvents()))
+  }
+
+  test("deletes win monotonically and tombstones expire") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 4)
+    def ev(turn: Int, tsSec: Long, lsn: Long, op: String, text: String) =
+      ChangeEvent("c1", turn, "user", text, null, new java.sql.Timestamp(tsSec * 1000), lsn, op)
+    val batch1: DataFrame = Seq(ev(1, 100, 1, "I", "a"), ev(2, 100, 2, "I", "b")).toDF()
+    CdcPipeline.applyBatch(t, batch1, 0)
+    val batch2: DataFrame = Seq(ev(1, 200, 3, "D", "a")).toDF()
+    CdcPipeline.applyBatch(t, batch2, 1)
+    assert(tableState(t) == Seq(("c1", 2, "b")))
+    // A LATE update older than the delete must not resurrect the row.
+    val batch3: DataFrame = Seq(ev(1, 150, 2, "U", "late")).toDF()
+    CdcPipeline.applyBatch(t, batch3, 2)
+    assert(tableState(t) == Seq(("c1", 2, "b")))
+    // Tombstone is physically present until expired.
+    assert(t.readRaw(spark).filter(col("op") === "D").count() == 1)
+    assert(t.expireTombstones(spark, lsnWatermark = 100) == 1)
+    assert(t.readRaw(spark).filter(col("op") === "D").count() == 0)
+    assert(tableState(t) == Seq(("c1", 2, "b")))
+  }
+
+  test("dirty gate quarantines and enforces limits") {
+    val good = Seq(ChangeEvent("c1", 1, "user", "x", null,
+      new java.sql.Timestamp(1000), 1, "I"))
+    val bad = Seq(
+      ChangeEvent(null, 1, "user", "x", null, new java.sql.Timestamp(1000), 2, "I"),
+      ChangeEvent("c2", 1, "user", "x", null, new java.sql.Timestamp(1000), 3, "Z"))
+    val df = (good ++ bad).toDF()
+    val split = Dirty.split(df, Dirty.envelopeRules)
+    assert(split.clean.count() == 1)
+    val reasons = split.dirty.select("__dirty_reason").as[String].collect().toSet
+    assert(reasons == Set("conv_id_null", "op_domain"))
+    intercept[DirtyLimitExceeded] { split.enforce(ErrorLimit(record = Some(0))) }
+    intercept[DirtyLimitExceeded] { split.enforce(ErrorLimit(record = None, percentage = Some(0.5))) }
+    split.enforce(ErrorLimit(record = Some(2)))
+  }
+}
