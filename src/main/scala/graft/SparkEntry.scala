@@ -1,13 +1,606 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.{CdcPipeline, Dedup, Dirty, ErrorLimit}
+import graft.functions.DataXTransforms._
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.model.Schemas
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.table.SnapTable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Driver contract: one `queries` entry per implemented operator (SURVEY.md
+ * §2 + the training-data operator set), each with a DuckDB-equivalent
+ * `oracleSql` where SQL-expressible. Column names are aliased identically on
+ * both sides; doubles are summed as decimals or rounded deterministically so
+ * the value-hash compare is exact.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full CDC replay (generate -> dirty gate -> LWW dedup ->
+    * snapshot MERGE -> final transcript state) at smoke scale. */
+  def entry(spark: SparkSession): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val cfg = GenConfig(numEvents = 10000, numConvs = 100, chunks = 4)
+    ChangeStreamGen.writeChangelog(spark, cfg, s"$work/log")
+    val table = SnapTable.create(spark, s"$work/table", Schemas.payloadV2, numBuckets = 8)
+    CdcPipeline.replayBatch(spark, s"$work/log", table)
+    table.read(spark).orderBy("conv_id", "turn_idx")
+  }
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (what the north star adds over the reference,
+    //      SURVEY.md §2.7) ------------------------------------------------
+
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_price"),
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("decimal(28,8)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_filter_project" -> ((s, dir) => {
+      // predicate + projection pushed into the parquet scan
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+          && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_discount").cast("decimal(18,4)")).cast("decimal(28,8)").as("disc_amount"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_join_broadcast" -> ((s, dir) => {
+      // star join: fact ⋈ broadcast dims (dims are tiny -> broadcast hash
+      // join, no shuffle of the fact side beyond the final agg)
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    "q_join_shuffle" -> ((s, dir) => {
+      // large-large join -> shuffle hash/sort-merge on the join key
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_sort_limit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(18,4)").as("price"))
+        .limit(10)
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_no_order"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_order"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_setop" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      cn.union(sn).distinct().orderBy("nk")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,4)")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- CDC / LWW semantics on the events stream table -----------------
+
+    "q_cdc_lww" -> ((s, dir) => {
+      // last-writer-wins per (user_id, event_type): max_by over (ts, lsn)
+      // — the dedup reducer of the merge pipeline (Dedup.lww).
+      val ev = t(s, dir, "events")
+        .withColumn("lsn", col("event_id"))
+      Dedup.lww(ev, keys = Seq("user_id", "event_type"), order = Seq("ts", "lsn"))
+        .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value").cast("decimal(18,4)").as("last_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q_cdc_lww_salted" -> ((s, dir) => {
+      // two-phase salted variant — must be bit-identical to q_cdc_lww
+      val ev = t(s, dir, "events").withColumn("lsn", col("event_id"))
+      Dedup.lwwSalted(ev, keys = Seq("user_id", "event_type"), order = Seq("ts", "lsn"),
+          salt = 8)
+        .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value").cast("decimal(18,4)").as("last_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q_event_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .select(unix_micros(col("hour")).as("hour_us"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("hour_us", "event_type")
+    }),
+
+    "q_dirty_gate" -> ((s, dir) => {
+      // dirty sideband: quarantine rows violating domain rules, report both
+      // sides (the reference's errorLimit accounting, SURVEY.md §2.5)
+      val ev = t(s, dir, "events")
+      val split = Dirty.split(ev, Seq(
+        Dirty.Rule("value_range", col("value").isNotNull && col("value") <= 300.0),
+        Dirty.Rule("type_domain",
+          col("event_type").isin("click", "view", "purchase", "signup", "error"))))
+      val clean = split.clean.groupBy(lit("clean").as("side")).agg(count(lit(1)).as("n"))
+      val dirty = split.dirty.groupBy(col("__dirty_reason").as("side"))
+        .agg(count(lit(1)).as("n"))
+      clean.unionByName(dirty).orderBy("side")
+    }),
+
+    // ---- DataX transform-chain parity (reference transformer/doc/
+    //      transformer.md:11-87) ------------------------------------------
+
+    "q_dx_substr" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), dxSubstr(col("p_name"), 0, 8).as("name8"),
+          dxSubstr(col("p_brand"), 6, 10).as("brand_tail"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_dx_pad" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), dxPad(col("event_type"), "l", 10, "_").as("padded_l"),
+          dxPad(col("event_type"), "r", 10, "*").as("padded_r"))
+        .orderBy("event_id")
+    }),
+
+    "q_dx_replace" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), dxReplace(col("c_name"), 9, 3, "XXX").as("masked"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_dx_filter" -> ((s, dir) => {
+      // drop rows where event_type full-matches /cl.*/ OR value > 300
+      // (typed range compare) — survivors per type
+      t(s, dir, "events")
+        .filter(!dxFilterPred(col("event_type"), "like", "cl.*"))
+        .filter(!dxFilterPred(col("value"), ">", "300"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    "q_cast_ladder" -> ((s, dir) => {
+      // ColumnCast multi-format parse ladder (reference ColumnCast.java:
+      // 87-117): strings in three formats all parse back to the same date
+      val o = t(s, dir, "orders")
+      val scol = when(pmod(col("o_orderkey"), lit(3)) === 0,
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1,
+          date_format(col("o_orderdate"), "yyyy/MM/dd"))
+        .otherwise(date_format(col("o_orderdate"), "yyyyMMdd"))
+      o.select(col("o_orderkey"), scol.as("raw"))
+        .withColumn("parsed_us", unix_micros(castLadderTimestamp(col("raw"))))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- training-data operators: dedup ---------------------------------
+
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_uniq"))
+        .orderBy("source")
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // exact word-3-gram jaccard near-dup pairs (threshold separates the
+      // planted dups cleanly from background, verified on the fixture)
+      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("j"))
+        .orderBy("a", "b")
+    }),
+
+    "q_minhash_lsh" -> ((s, dir) => {
+      // minhash (128 hashes, 64 bands x 2) -> bucket join -> exact verify;
+      // at threshold 0.5 recall is 1-1e-8 -> equals the exhaustive oracle
+      TextDedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("j"))
+        .orderBy("a", "b")
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      // rows-only (simhash bit algebra is not reasonably DuckDB-expressible;
+      // recall vs exact jaccard is covered in OperatorsSpec)
+      TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
+        .orderBy("a", "b")
+    }),
+
+    // ---- training-data operators: text analysis -------------------------
+
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.wordCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityBp(col("text")).as("quality_bp"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.vocabFingerprint(col("text")).as("vfp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-data operators: similarity search ---------------------
+
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_embedding_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // rows-only: LSH-bucketed ANN (recall vs brute force in OperatorsSpec)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, tables = 16, nbits = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multimodal plumbing (decode stubbed, Spark plumbing real) -------
+
+    "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+        .orderBy("kind")
+    }),
+
+    // ---- flagship CDC pipeline (rows-only; oracle equality is enforced
+    //      in CdcEndToEndSpec against the in-memory reducer) --------------
+
+    "q_cdc_pipeline" -> ((s, dir) => {
+      entry(s)
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL (same output column names; decimal/rounding matched)
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8)))
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))
+        |       AS DECIMAL(28,8)) AS disc_amount
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_no_order FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_with_order FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_setop" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cdc_lww" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,4)) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_cdc_lww_salted" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,4)) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_event_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dirty_gate" ->
+      """SELECT side, count(*) AS n FROM (
+        |  SELECT CASE WHEN value IS NULL OR value > 300 THEN 'value_range'
+        |              WHEN event_type NOT IN ('click','view','purchase','signup','error')
+        |                THEN 'type_domain'
+        |              ELSE 'clean' END AS side
+        |  FROM events) GROUP BY side ORDER BY side""".stripMargin,
+
+    "q_dx_substr" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_name IS NULL THEN NULL
+        |       WHEN length(p_name) < 0 THEN NULL
+        |       ELSE substr(p_name, 1, 8) END AS name8,
+        |  CASE WHEN p_brand IS NULL THEN NULL
+        |       WHEN length(p_brand) < 6 THEN NULL
+        |       ELSE substr(p_brand, 7, 10) END AS brand_tail
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_dx_pad" ->
+      """SELECT event_id, lpad(coalesce(event_type, ''), 10, '_') AS padded_l,
+        |  rpad(coalesce(event_type, ''), 10, '*') AS padded_r
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_dx_replace" ->
+      """SELECT c_custkey,
+        |  substr(c_name, 1, 9) || 'XXX' ||
+        |  CASE WHEN length(c_name) > 12 THEN substr(c_name, 13) ELSE '' END AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_dx_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE NOT regexp_full_match(event_type, 'cl.*') AND NOT (value > 300)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cast_ladder" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |       WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+        |       ELSE strftime(o_orderdate, '%Y%m%d') END AS raw,
+        |  epoch_us(o_orderdate) AS parsed_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_uniq
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ngram_jaccard" -> jaccardOracle,
+    "q_minhash_lsh" -> jaccardOracle,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> langIdOracle,
+
+    "q_quality" -> qualityOracle,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  md5(list_aggregate(list_sort(list_distinct(
+        |    string_split_regex(lower(text), '\s+'))), 'string_agg', ' ')) AS vfp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(d.embedding AS DOUBLE[])) DESC,
+        |      d.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY a, b""".stripMargin
+  )
+
+  /** Exhaustive word-3-gram jaccard pairs >= 0.5 — oracle for both the exact
+    * and the minhash-LSH variant (LSH recall at 0.5 is 1-1e-8 with 64x2
+    * bands). */
+  private val jaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w) - 1)])
+      |    ELSE [text] END AS g
+      |  FROM toks
+      |), ex AS (SELECT doc_id, unnest(g) AS shingle FROM sh),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT doc_id, len(g) AS sz FROM sh)
+      |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS j
+      |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
+  private def hitsSql(lang: String): String = {
+    val words = graft.operators.TextAnalysis.stopwords(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($words)))"
+  }
+
+  private val langIdOracle: String = {
+    val langs = graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted
+    val structs = langs.zipWithIndex.map { case (l, i) =>
+      s"{'hits': ${hitsSql(l)}, 'nrank': ${-i}, 'lang': '$l'}"
+    }.mkString(", ")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang, list_max([$structs]) AS best FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val qualityOracle: String = {
+    val langs = graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted
+    val hitsAll = langs.map(hitsSql).mkString(" + ")
+    s"""SELECT doc_id, CAST(floor((
+       |    least(1.0, chars / 200.0) +
+       |    CASE WHEN nw > 0 AND (chars - nw + 1) / nw >= 3
+       |              AND (chars - nw + 1) / nw <= 12 THEN 1.0 ELSE 0.0 END +
+       |    (1.0 - least(1.0, punct / greatest(chars / 10.0, 1.0))) +
+       |    least(1.0, hits / 5.0)
+       |  ) / 4.0 * 10000 + 0.5) AS INT) AS quality_bp
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS chars,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS nw,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+       |         AS DOUBLE) AS punct,
+       |    CAST($hitsAll AS DOUBLE) AS hits
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -46,23 +46,34 @@ object CdcPipeline {
   def applyBatch(table: SnapTable, batch: DataFrame, epoch: Long,
       opts: PipelineOptions = PipelineOptions()): LineageRecord = {
     val t0 = System.nanoTime()
-    val cached = batch.cache()
+    val tagged = batch.withColumn(Dirty.ReasonCol, Dirty.reason(Dirty.envelopeRules)).cache()
     try {
-      // Per-source-partition offset lineage, one small agg over the batch.
-      val parts = cached
-        .groupBy(spark_partition_id().as("p"))
+      // One aggregation pass yields BOTH the per-source-partition offset
+      // lineage and the dirty accounting (no extra scans of the batch).
+      val acct = tagged
+        .groupBy(spark_partition_id().as("p"), col(Dirty.ReasonCol))
         .agg(count(lit(1)).as("rows"), min("lsn").as("lo"), max("lsn").as("hi"))
         .collect()
-        .map(r => PartitionLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .toSeq.sortBy(_.partition)
+      val parts = acct.groupBy(_.getInt(0)).map { case (p, rs) =>
+        val los = rs.collect { case r if !r.isNullAt(3) => r.getLong(3) }
+        val his = rs.collect { case r if !r.isNullAt(4) => r.getLong(4) }
+        PartitionLineage(p, rs.map(_.getLong(2)).sum,
+          if (los.isEmpty) -1L else los.min, if (his.isEmpty) -1L else his.max)
+      }.toSeq.sortBy(_.partition)
+      val byReason = acct.filterNot(_.isNullAt(1))
+        .groupBy(_.getString(1)).map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+      val nClean = acct.filter(_.isNullAt(1)).map(_.getLong(2)).sum
+      val stats = DirtyStats(nClean, byReason.values.sum, byReason.toMap)
+        .enforce(opts.errorLimit)
 
-      val split = Dirty.split(cached, Dirty.envelopeRules)
-      val stats = split.enforce(opts.errorLimit)
-      val deduped =
-        if (opts.saltedDedup) Dedup.lwwSalted(split.clean, Schemas.mergeKeys, Schemas.lwwOrder)
-        else Dedup.lww(split.clean, Schemas.mergeKeys, Schemas.lwwOrder)
-
-      val (applied, buckets, result) = table.merge(deduped, epoch) match {
+      val clean = tagged.filter(col(Dirty.ReasonCol).isNull).drop(Dirty.ReasonCol)
+      // No pre-merge dedup pass: the merge's own LWW aggregation reduces the
+      // batch (with map-side partials) in the same shuffle that folds in the
+      // stored rows. Optional salted pre-reduce for pathological dup skew.
+      val toMerge =
+        if (opts.saltedDedup) Dedup.lwwSalted(clean, Schemas.mergeKeys, Schemas.lwwOrder)
+        else clean
+      val (applied, buckets, result) = table.merge(toMerge, epoch) match {
         case MergeResult.Committed(_, rows, b, _) => (rows, b, "committed")
         case MergeResult.SkippedEpoch => (0L, 0, "skipped_epoch")
       }
@@ -70,7 +81,7 @@ object CdcPipeline {
         applied, buckets, (System.nanoTime() - t0) / 1000000L, result)
       writeLineage(table, rec)
       rec
-    } finally cached.unpersist()
+    } finally tagged.unpersist()
   }
 
   private def writeLineage(table: SnapTable, rec: LineageRecord): Unit = {

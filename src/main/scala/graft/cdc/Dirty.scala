@@ -9,40 +9,51 @@ final case class ErrorLimit(record: Option[Long] = Some(0L), percentage: Option[
 
 final class DirtyLimitExceeded(msg: String) extends RuntimeException(msg)
 
-final case class DirtySplit(clean: DataFrame, dirty: DataFrame) {
-  /** Enforce the reference's error-limit gate: absolute record limit and/or
-    * percentage of total. Triggers one action over each side. */
+final case class DirtyStats(clean: Long, dirty: Long, byReason: Map[String, Long]) {
+  /** Enforce the reference's error-limit gate. */
   def enforce(limit: ErrorLimit): DirtyStats = {
-    val nDirty = dirty.count()
-    val nClean = clean.count()
-    val total = nDirty + nClean
     limit.record.foreach { r =>
-      if (nDirty > r) throw new DirtyLimitExceeded(
-        s"dirty records $nDirty exceed errorLimit.record=$r")
+      if (dirty > r) throw new DirtyLimitExceeded(
+        s"dirty records $dirty exceed errorLimit.record=$r ($byReason)")
     }
     limit.percentage.foreach { p =>
-      if (total > 0 && nDirty.toDouble / total > p) throw new DirtyLimitExceeded(
-        f"dirty ratio ${nDirty.toDouble / total}%.4f exceeds errorLimit.percentage=$p")
+      val total = clean + dirty
+      if (total > 0 && dirty.toDouble / total > p) throw new DirtyLimitExceeded(
+        f"dirty ratio ${dirty.toDouble / total}%.4f exceeds errorLimit.percentage=$p")
     }
-    DirtyStats(nClean, nDirty)
+    this
   }
 }
 
-final case class DirtyStats(clean: Long, dirty: Long)
+final case class DirtySplit(tagged: DataFrame) {
+  def clean: DataFrame = tagged.filter(col(Dirty.ReasonCol).isNull).drop(Dirty.ReasonCol)
+  def dirty: DataFrame = tagged.filter(col(Dirty.ReasonCol).isNotNull)
+
+  /** One aggregation pass over the tagged frame. */
+  def stats(): DirtyStats = {
+    val rows = tagged.groupBy(col(Dirty.ReasonCol)).agg(count(lit(1)).as("n")).collect()
+    val byReason = rows.filterNot(_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = rows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    DirtyStats(clean, byReason.values.sum, byReason)
+  }
+
+  def enforce(limit: ErrorLimit): DirtyStats = stats().enforce(limit)
+}
 
 /**
  * Dirty-record sideband (SURVEY.md §2.5). Every validation failure routes the
- * offending row (plus the failed rule) to a quarantine frame instead of
+ * offending row (plus the failed rule name) to a quarantine frame instead of
  * failing the job — the Spark-native form of the reference's
  * TaskPluginCollector dirty channel (reference: common/.../plugin/
  * TaskPluginCollector.java; sampled logging core/.../statistics/plugin/task/
  * StdoutPluginCollector.java).
  *
- * Implemented as a single projected rule-failure column evaluated once per
- * row inside whole-stage codegen; the split is two cheap filters over the
- * same scan (Catalyst reuses the pushed-down scan for both sides).
+ * The rule-failure column is evaluated once per row inside whole-stage
+ * codegen; clean/dirty are two cheap filters over the same scan.
  */
 object Dirty {
+
+  val ReasonCol = "__dirty_reason"
 
   /** A named validation rule: null-check, castability, domain check… */
   final case class Rule(name: String, pred: Column)
@@ -55,14 +66,13 @@ object Dirty {
     Rule("lsn_null", col("lsn").isNotNull),
     Rule("op_domain", col("op").isin("I", "U", "D")))
 
-  /** Split a frame into (clean, dirty-with-reason). */
-  def split(df: DataFrame, rules: Seq[Rule]): DirtySplit = {
-    val reason = rules.foldLeft(lit(null).cast("string")) { (acc, r) =>
+  /** First failing rule name, else null. */
+  def reason(rules: Seq[Rule]): Column =
+    rules.foldLeft(lit(null).cast("string")) { (acc, r) =>
       coalesce(acc, when(!coalesce(r.pred, lit(false)), lit(r.name)))
     }
-    val tagged = df.withColumn("__dirty_reason", reason)
-    DirtySplit(
-      clean = tagged.filter(col("__dirty_reason").isNull).drop("__dirty_reason"),
-      dirty = tagged.filter(col("__dirty_reason").isNotNull))
-  }
+
+  /** Tag a frame with the failed-rule column. */
+  def split(df: DataFrame, rules: Seq[Rule]): DirtySplit =
+    DirtySplit(df.withColumn(ReasonCol, reason(rules)))
 }

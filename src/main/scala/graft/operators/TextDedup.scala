@@ -27,7 +27,7 @@ object TextDedup {
     // k-gram i = words[i..i+k): build via transform over index range, then
     // explode distinct shingles. All inside codegen, no UDF.
     val grams = expr(
-      s"""transform(sequence(0, greatest(size(split($textCol, '\\\\s+')) - $k, 0) - 1),
+      s"""transform(sequence(0, greatest(size(split($textCol, '\\\\s+')) - $k, 0)),
          |  i -> concat_ws(' ', slice(split($textCol, '\\\\s+'), i + 1, $k)))""".stripMargin)
     df.select(col(idCol), explode(array_distinct(
         when(size(words) >= k, grams).otherwise(array(col(textCol))))).as("shingle"))

@@ -1,0 +1,190 @@
+package graft
+
+import graft.functions.DataXTransforms._
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.table.SchemaEvolution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  // ---- DataX transform parity (vectors from transformer/doc semantics) ----
+
+  test("dx_substr null and bounds semantics") {
+    val df = Seq(Some("hello world"), Some("hi"), None).toDF("s")
+    val got = df.select(dxSubstr(col("s"), 3, 4)).as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("lo w"), None, None)) // "hi".length < 3 -> dirty/null
+  }
+
+  test("dx_pad truncates and pads, null as empty") {
+    val df = Seq(Some("abcdef"), Some("x"), None).toDF("s")
+    assert(df.select(dxPad(col("s"), "l", 4, "*")).as[String].collect().toSeq ==
+      Seq("abcd", "***x", "****"))
+    assert(df.select(dxPad(col("s"), "r", 4, "*")).as[String].collect().toSeq ==
+      Seq("abcd", "x***", "****"))
+  }
+
+  test("dx_replace splice semantics") {
+    val df = Seq("abcdefgh").toDF("s")
+    assert(df.select(dxReplace(col("s"), 2, 3, "XY")).as[String].head() == "abXYfgh")
+    // replace past end: suffix empty
+    assert(df.select(dxReplace(col("s"), 6, 10, "Z")).as[String].head() == "abcdefZ")
+  }
+
+  test("dx_filter null rules differ from SQL 3VL") {
+    val df = Seq(Some("5"), Some("15"), None).toDF("v")
+    // range compare: null never matches -> never dropped
+    val kept = df.filter(!dxFilterPred(col("v"), ">", "10")).as[Option[String]].collect().toSeq
+    assert(kept == Seq(Some("5"), None))
+    // = "null" matches only null
+    val keptEq = df.filter(!dxFilterPred(col("v"), "=", "null")).as[Option[String]].collect().toSeq
+    assert(keptEq == Seq(Some("5"), Some("15")))
+    // like is full-match regex
+    val df2 = Seq("click", "clickstream", "view").toDF("v")
+    assert(df2.filter(dxFilterPred(col("v"), "like", "cl.*k")).as[String].collect().toSeq ==
+      Seq("click"))
+  }
+
+  test("cast ladder parses multiple formats; garbage -> null") {
+    val df = Seq("2024-03-01 10:20:30", "2024-03-01", "2024/03/01", "20240301", "nope")
+      .toDF("s")
+    val got = df.select(unix_micros(castLadderTimestamp(col("s")))).collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0))
+    val day = 1709251200000000L // 2024-03-01T00:00:00Z
+    assert(got.toSeq == Seq(day + (10 * 3600 + 20 * 60 + 30) * 1000000L, day, day, day, -1L))
+  }
+
+  test("checked long overflow -> null (dirty), not wrap") {
+    val df = Seq("9223372036854775807", "99999999999999999999", "12").toDF("s")
+    val got = df.select(checkedLong(col("s"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(Long.MaxValue), None, Some(12L)))
+  }
+
+  test("transform chain applies sequentially with filters") {
+    val df = Seq(("click", "aaaa"), ("view", "bbbb")).toDF("t", "p")
+    val out = applyChain(df, Seq(
+      Filter("t", "like", "cl.*"), // drops 'click'
+      Pad("p", "l", 6, "0")))
+    assert(out.as[(String, String)].collect().toSeq == Seq(("view", "00bbbb")))
+  }
+
+  // ---- schema evolution ---------------------------------------------------
+
+  test("schema widening lattice") {
+    assert(SchemaEvolution.widen(IntegerType, LongType).contains(LongType))
+    assert(SchemaEvolution.widen(ShortType, IntegerType).contains(IntegerType))
+    assert(SchemaEvolution.widen(FloatType, DoubleType).contains(DoubleType))
+    assert(SchemaEvolution.widen(IntegerType, DoubleType).contains(DoubleType))
+    assert(SchemaEvolution.widen(DateType, TimestampType).contains(TimestampType))
+    assert(SchemaEvolution.widen(StringType, LongType).isEmpty)
+    val table = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val batch = StructType(Seq(StructField("a", LongType), StructField("c", StringType)))
+    val m = SchemaEvolution.merge(table, batch)
+    assert(m.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(m("a").dataType == LongType)
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.merge(table,
+        StructType(Seq(StructField("b", LongType))))
+    }
+  }
+
+  // ---- text dedup ---------------------------------------------------------
+
+  test("minhash LSH pairs == exact jaccard pairs on fixture") {
+    val exact = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash finds the planted near-dups") {
+    val planted = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val sim = TextDedup.simhashPairs(docs, maxHamming = 12)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // simhash measures token-multiset similarity: expect high recall of the
+    // jaccard-planted pairs
+    val recall = planted.count(sim.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"simhash recall $recall")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .groupBy("f").count().as[(String, Long)].collect().toMap
+    assert(fp.values.toSeq.sorted == Seq(1L, 2L))
+  }
+
+  // ---- similarity ---------------------------------------------------------
+
+  test("LSH ANN recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 10, dim = 64,
+        tables = 16, nbits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // synthetic embeddings are near-orthogonal (top-10 cosine ~0.3) — the
+    // hardest case for hyperplane LSH; 16 tables x 4 bits still recalls most
+    assert(recall >= 0.7, s"ANN recall $recall too low")
+  }
+
+  test("cosine expression matches scala computation") {
+    val rows = emb.limit(3).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val df = Similarity.nearDupPairs(emb.limit(3), threshold = -1.0)
+      .as[(Long, Long, Double)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    df.foreach { case (a, b, c) =>
+      val va = rows.find(_._1 == a).get._2
+      val vb = rows.find(_._1 == b).get._2
+      assert(math.abs(c - cos(va, vb)) < 1e-9)
+    }
+  }
+
+  // ---- text analysis ------------------------------------------------------
+
+  test("language id picks stopword-rich language, und on none") {
+    val df = Seq(
+      "the cat is in the house and it is happy",
+      "der hund ist nicht zu hause und das ist gut",
+      "xyzzy qwerty asdf").toDF("text")
+    val got = df.select(TextAnalysis.languageId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("token and word counts") {
+    val df = Seq("Hello, world! 42", "", "  a  b  ").toDF("text")
+    val got = df.select(TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.wordCount(col("text"))).as[(Int, Int)].collect().toSeq
+    // tokens: [Hello][,][world][!][42] = 5
+    assert(got == Seq((5, 3), (0, 0), (2, 2)))
+  }
+
+  // ---- multimodal plumbing ------------------------------------------------
+
+  test("multimodal feature extraction plumbing (stubbed decode)") {
+    val media = Multimodal.syntheticMedia(docs).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == docs.count())
+    val f = feats.head()
+    assert(f.feature.length == 16)
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-3, "histogram features sum to 1")
+    assert(f.byte_entropy > 0)
+    val frames = Multimodal.frameSample(spark, Multimodal.syntheticMedia(docs), 4)
+    assert(frames.count() == docs.count() * 4)
+    assert(frames.select("frame_hash").distinct().count() > docs.count())
+  }
+}
