@@ -32,59 +32,138 @@ object Bench {
     s
   }
 
-  /** One full CDC replay; returns (events applied, elapsed sec). */
-  private def cdcRun(cores: Int, logDir: String, totalEvents: Long): (Long, Double) = {
+  /** One full CDC replay in THIS JVM (after a warmup pass over the first
+    * chunk); prints `CDCRESULT <events> <sec>`. Child-process entry. */
+  private def cdcRunInProcess(cores: Int, logDir: String, mode: String): Unit = {
     val spark = newSession(cores)
     val work = java.nio.file.Files.createTempDirectory(s"bench-cdc-$cores").toString
+    val opts = PipelineOptions(enrich = mode == "enriched")
+    if (!sys.env.contains("GRAFT_BENCH_NO_WARMUP")) {
+      // warmup: JIT + codegen over one chunk, separate table
+      val tw = System.nanoTime()
+      val warmTable = SnapTable.create(spark, s"$work/warm", Schemas.payloadV2, numBuckets = 32)
+      CdcPipeline.replayBatch(spark, s"$logDir/chunk=00000", warmTable, opts)
+      System.err.println(f"[bench-child] warmup ${(System.nanoTime() - tw) / 1e9}%.1fs")
+    }
     val table = SnapTable.create(spark, s"$work/table", Schemas.payloadV2, numBuckets = 32)
     val t0 = System.nanoTime()
-    val rec = CdcPipeline.replayBatch(spark, logDir, table)
+    val rec = CdcPipeline.replayBatch(spark, logDir, table, opts)
     val sec = (System.nanoTime() - t0) / 1e9
-    val applied = rec.rowsIn
+    println(s"CDCRESULT ${rec.rowsIn} $sec")
     spark.stop()
-    // a stopped session leaves the SparkContext cleared; next builder call
-    // creates a fresh one with the new master
-    (applied, sec)
+  }
+
+  /**
+   * One measured replay in a FRESH child JVM. Successive SparkContexts in
+   * one JVM degrade measurably (heap/metaspace accretion: the last run of
+   * any sequence was consistently 3-4x slower than the same run isolated),
+   * so each parallelism level gets its own process — which is also the
+   * honest analogue of separate cluster deployments at N and 4N executors.
+   */
+  private def cdcRun(cores: Int, logDir: String, mode: String): (Long, Double) = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java, s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+      "-Dspark.ui.enabled=false") ++ addOpens ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "cdc-child", cores.toString, logDir, mode)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    proc.waitFor()
+    out.find(_.startsWith("CDCRESULT")) match {
+      case Some(line) =>
+        val parts = line.split(" ")
+        (parts(1).toLong, parts(2).toDouble)
+      case None =>
+        throw new RuntimeException(s"child bench failed:\n${out.takeRight(30).mkString("\n")}")
+    }
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "cdc-child") {
+      cdcRunInProcess(args(1).toInt, args(2), if (args.length > 3) args(3) else "enriched")
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS",
-      if (sfDir.contains("0.1")) "2000000" else "200000").toLong
+      if (sfDir.contains("0.1")) "4000000" else "200000").toLong
 
-    // ---- section 1: headline queries --------------------------------------
+    // ---- section 1: headline queries (two passes, report the min — pass 1
+    // absorbs JIT/codegen warmup and environment noise) ---------------------
     var spark = newSession(cpus)
     val queries = SparkEntry.queries
-    val results = headline.filter(queries.contains).map { name =>
+    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+    def queryPass() = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
-      val n = try queries(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, n)
+      try queries(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
+      (name, (System.nanoTime() - t0) / 1e9)
     }
+    val results =
+      if (skipQueries) Seq.empty
+      else {
+        val p1 = queryPass().toMap
+        queryPass().map { case (n, t) => (n, math.min(t, p1(n))) }
+      }
 
     // ---- section 2: CDC throughput at two parallelism levels --------------
-    val logDir = java.nio.file.Files.createTempDirectory("bench-log").toString + "/log"
-    val cfg = GenConfig(numEvents = benchEvents, numConvs = (benchEvents / 500).toInt.max(100),
-      chunks = 8)
-    val tGen0 = System.nanoTime()
-    ChangeStreamGen.writeChangelog(spark, cfg, logDir)
-    val genSec = (System.nanoTime() - tGen0) / 1e9
+    // The changelog is deterministic, so it is cached across bench runs.
+    val (logDir, genSec) = sys.env.get("SPARK_GRAFT_BENCH_LOG") match {
+      case Some(existing) => (existing, 0.0)
+      case None =>
+        val dir = s"/tmp/graft-benchlog-e$benchEvents/log"
+        val marker = java.nio.file.Paths.get(s"$dir/_COMPLETE")
+        if (java.nio.file.Files.exists(marker)) (dir, 0.0)
+        else {
+          val cfg = GenConfig(numEvents = benchEvents,
+            numConvs = (benchEvents / 500).toInt.max(100), chunks = 8)
+          val tGen0 = System.nanoTime()
+          ChangeStreamGen.writeChangelog(spark, cfg, dir)
+          java.nio.file.Files.createFile(marker)
+          (dir, (System.nanoTime() - tGen0) / 1e9)
+        }
+    }
     spark.stop()
 
-    val (n8, s8) = cdcRun(8, logDir, benchEvents)
-    val (n32, s32) = cdcRun(32, logDir, benchEvents)
-    val thr8 = n8 / s8
-    val thr32 = n32 / s32
-    val eff = (thr32 / thr8) / 4.0
+    // Matrix: enriched ingest (per-event quality/lang/token enrichment +
+    // LWW merge — the CPU-bound training-data ingest shape; this is the
+    // N-vs-4N scaling evidence, N=2 cores vs 4N=8 cores) and raw merge
+    // (memory-bandwidth-bound on a single box; reported for reference).
+    val coresList = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "2,8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val enriched = coresList.map(c => c -> cdcRun(c, logDir, "enriched")).toMap
+    val raw = Seq(8, 32).filter(coresList.contains)
+      .map(c => c -> cdcRun(c, logDir, "raw")).toMap
 
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def thr(r: (Long, Double)): Double = r._1 / r._2
+    val eff2to8 =
+      if (enriched.contains(2) && enriched.contains(8))
+        (thr(enriched(8)) / thr(enriched(2))) / 4.0
+      else Double.NaN
+    val eff8to32 =
+      if (enriched.contains(8) && enriched.contains(32))
+        (thr(enriched(32)) / thr(enriched(8))) / 4.0
+      else Double.NaN
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val cdc = f"""{"events":$n32,"gen_sec":$genSec%.2f,""" +
-      f""""local8_sec":$s8%.2f,"local8_events_per_sec":$thr8%.0f,""" +
-      f""""local32_sec":$s32%.2f,"local32_events_per_sec":$thr32%.0f,""" +
-      f""""scaling_efficiency_8_to_32":$eff%.3f}"""
-    println(f"""{"metric":"cdc_events_per_sec_local32","value":$thr32%.0f,""" +
+    def runsJson(m: Map[Int, (Long, Double)]): String =
+      m.toSeq.sortBy(_._1).map { case (c, r) =>
+        f""""local$c":{"sec":${r._2}%.2f,"events_per_sec":${thr(r)}%.0f}"""
+      }.mkString("{", ",", "}")
+    val events = enriched.values.headOption.map(_._1).getOrElse(0L)
+    val headlineThr = enriched.get(32).orElse(enriched.values.lastOption).map(thr).getOrElse(0.0)
+    val cdc = f"""{"events":$events,"gen_sec":$genSec%.2f,""" +
+      s""""enriched":${runsJson(enriched)},"raw":${runsJson(raw)},""" +
+      f""""scaling_efficiency_2_to_8":$eff2to8%.3f,""" +
+      f""""scaling_efficiency_8_to_32":$eff8to32%.3f}"""
+    println(f"""{"metric":"cdc_enriched_events_per_sec_local32","value":$headlineThr%.0f,""" +
       f""""unit":"events/sec","total_query_sec":$total%.2f,"queries":$qs,""" +
       s""""cdc":$cdc,"sf":"$sfDir"}""")
   }

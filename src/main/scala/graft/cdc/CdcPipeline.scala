@@ -25,7 +25,11 @@ final case class PartitionLineage(partition: Int, rows: Long, minLsn: Long, maxL
 final case class PipelineOptions(
     errorLimit: ErrorLimit = ErrorLimit(record = None, percentage = Some(0.02)),
     maxFilesPerTrigger: Int = 8,
-    saltedDedup: Boolean = false)
+    saltedDedup: Boolean = false,
+    /** Per-event text enrichment (quality score, language id, token count)
+      * applied before the merge — the training-data-pipeline ingest shape.
+      * The enrichment columns reach the table via schema evolution. */
+    enrich: Boolean = false)
 
 /**
  * The end-to-end CDC pipeline: changelog tail -> dirty sideband -> LWW dedup
@@ -46,13 +50,24 @@ object CdcPipeline {
   def applyBatch(table: SnapTable, batch: DataFrame, epoch: Long,
       opts: PipelineOptions = PipelineOptions()): LineageRecord = {
     val t0 = System.nanoTime()
-    val tagged = batch.withColumn(Dirty.ReasonCol, Dirty.reason(Dirty.envelopeRules)).cache()
-    try {
+    val debug = sys.env.contains("GRAFT_DEBUG_TIMING")
+    def mark(phase: String, since: Long): Unit = if (debug)
+      System.err.println(f"[pipeline-timing] $phase: ${(System.nanoTime() - since) / 1e9}%.2fs")
+    // NOT cached: the accounting agg and the merge each scan the source
+    // once, and a columnar parquet re-scan (pushdown + pruning) is ~10x
+    // cheaper than materializing an InMemoryRelation of the batch (measured
+    // 0.5s vs 4-30s on a 2.1M-row batch).
+    val tagged = batch.withColumn(Dirty.ReasonCol, Dirty.reason(Dirty.envelopeRules))
+    locally {
       // One aggregation pass yields BOTH the per-source-partition offset
       // lineage and the dirty accounting (no extra scans of the batch).
+      // collect_set of the merge bucket rides along so the merge can skip
+      // its own touched-bucket scan
+      val bucketCol = table.bucketExpr(table.numBuckets)
       val acct = tagged
         .groupBy(spark_partition_id().as("p"), col(Dirty.ReasonCol))
-        .agg(count(lit(1)).as("rows"), min("lsn").as("lo"), max("lsn").as("hi"))
+        .agg(count(lit(1)).as("rows"), min("lsn").as("lo"), max("lsn").as("hi"),
+          collect_set(bucketCol).as("buckets"))
         .collect()
       val parts = acct.groupBy(_.getInt(0)).map { case (p, rs) =>
         val los = rs.collect { case r if !r.isNullAt(3) => r.getLong(3) }
@@ -65,15 +80,24 @@ object CdcPipeline {
       val nClean = acct.filter(_.isNullAt(1)).map(_.getLong(2)).sum
       val stats = DirtyStats(nClean, byReason.values.sum, byReason.toMap)
         .enforce(opts.errorLimit)
+      val touched = acct.filter(_.isNullAt(1))
+        .flatMap(_.getSeq[Int](5)).toSet
+      mark("accounting", t0)
 
-      val clean = tagged.filter(col(Dirty.ReasonCol).isNull).drop(Dirty.ReasonCol)
+      val clean0 = tagged.filter(col(Dirty.ReasonCol).isNull).drop(Dirty.ReasonCol)
+      val clean =
+        if (!opts.enrich) clean0
+        else clean0
+          .withColumn("quality_bp", graft.operators.TextAnalysis.qualityBp(col("text")))
+          .withColumn("lang_pred", graft.operators.TextAnalysis.languageId(col("text")))
+          .withColumn("n_tokens", graft.operators.TextAnalysis.tokenCount(col("text")))
       // No pre-merge dedup pass: the merge's own LWW aggregation reduces the
       // batch (with map-side partials) in the same shuffle that folds in the
       // stored rows. Optional salted pre-reduce for pathological dup skew.
       val toMerge =
         if (opts.saltedDedup) Dedup.lwwSalted(clean, Schemas.mergeKeys, Schemas.lwwOrder)
         else clean
-      val (applied, buckets, result) = table.merge(toMerge, epoch) match {
+      val (applied, buckets, result) = table.merge(toMerge, epoch, Some(touched)) match {
         case MergeResult.Committed(_, rows, b, _) => (rows, b, "committed")
         case MergeResult.SkippedEpoch => (0L, 0, "skipped_epoch")
       }
@@ -81,7 +105,7 @@ object CdcPipeline {
         applied, buckets, (System.nanoTime() - t0) / 1000000L, result)
       writeLineage(table, rec)
       rec
-    } finally tagged.unpersist()
+    }
   }
 
   private def writeLineage(table: SnapTable, rec: LineageRecord): Unit = {

@@ -131,7 +131,9 @@ object ChangeStreamGen {
         val cols = if (preEvolve) Seq("conv_id", "turn_idx", "role", "text", "ts", "lsn", "op")
                    else Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "op")
         val dir = f"$outDir/chunk=$c%05d"
-        val files = math.max(1, (sz / 500000L).toInt)
+        // ~50k events per file so a batch replay has enough input splits to
+        // feed every core of a wide executor pool
+        val files = math.max(1, (sz / 50000L).toInt)
         slice.select(cols.map(col): _*).repartition(files)
           .write.mode("overwrite").parquet(dir)
         dir

@@ -24,9 +24,13 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Dimension-specialized dot product — stays in whole-stage codegen. */
+  /** Dimension-specialized dot product — stays in whole-stage codegen.
+    * Elements are cast scalar-wise: an array-level `cast("array<double>")`
+    * gets inlined into consumers by projection collapse, re-converting the
+    * whole array on EVERY getItem (measured 80s vs 3s on a 2M-pair join). */
   def dot(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
+    (0 until dim).map(i =>
+      a.getItem(i).cast("double") * b.getItem(i).cast("double")).reduce(_ + _)
 
   /** Generic (any-dimension) dot — interpreted eval; avoid in hot paths. */
   def dotDyn(a: Column, b: Column): Column =
@@ -42,7 +46,7 @@ object Similarity {
 
   private def withNorm(df: DataFrame, vecCol: String, dim: Int,
       idAs: String, vecAs: String, normAs: String, idCol: String): DataFrame =
-    df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
       .withColumn(normAs, sqrt(dot(col(vecAs), col(vecAs), dim)))
 
   /**
@@ -90,7 +94,7 @@ object Similarity {
     val planeDf = broadcast(
       (for (t <- 0 until tables; b <- 0 until nbits)
         yield (t, b, planes(t)(b).toSeq)).toDF("tbl", "bit", "plane"))
-    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    df.select(col(idCol), col(vecCol).as("__v"))
       .crossJoin(planeDf)
       .withColumn("__proj", dot(col("__v"), col("plane"), dim))
       .groupBy(col(idCol), col("tbl"))
@@ -119,8 +123,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
     val scored = cand.withColumn("cos",
-      cosinePre(dot(col("qv").cast("array<double>"), col("cv").cast("array<double>"), dim),
-        col("qn"), col("cn")))
+      cosinePre(dot(col("qv"), col("cv"), dim), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

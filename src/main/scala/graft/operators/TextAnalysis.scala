@@ -21,21 +21,33 @@ object TextAnalysis {
 
   private def words(c: Column): Column = split(lower(c), "\\s+")
 
+  /** Sorted language codes; index into the textStats `hits` array. */
+  val langCodes: Seq[String] = stopwords.keys.toSeq.sorted
+
+  /** Single-pass stats struct (hits array, n_tokens, n_words, punct) via the
+    * native [[graft.functions.TextStatsExpr]] — one scan, no HOF fallbacks. */
+  def textStats(c: Column): Column =
+    graft.functions.TextStatsExpr.textStats(c, langCodes.map(stopwords))
+
   /** Stopword-hit count for one language. */
   def stopwordHits(c: Column, lang: String): Column =
-    size(filter(words(c), w => w.isin(stopwords(lang).map(x => x: Any): _*)))
+    textStats(c).getField("hits").getItem(langCodes.indexOf(lang))
 
   /**
    * Language ID: argmax of stopword hits across known languages; ties and
    * zero hits -> "und" (undetermined). Deterministic tie-break: higher count
    * wins, then lexicographic language code.
    */
-  def languageId(c: Column): Column = {
-    val langs = stopwords.keys.toSeq.sorted
+  def languageId(c: Column): Column = languageIdFrom(textStats(c))
+
+  /** Derivation from a precomputed stats struct (lets callers share one
+    * textStats eval across several derived columns). */
+  def languageIdFrom(stats: Column): Column = {
     // max over (hits, negated lang rank): higher count wins, ties prefer the
     // lexicographically-smaller language code.
-    val best = langs.zipWithIndex.map { case (l, i) =>
-      struct(stopwordHits(c, l).as("hits"), lit(-i).as("nrank"), lit(l).as("lang"))
+    val best = langCodes.zipWithIndex.map { case (l, i) =>
+      struct(stats.getField("hits").getItem(i).as("hits"),
+        lit(-i).as("nrank"), lit(l).as("lang"))
     }.reduce((a, b) => when(b > a, b).otherwise(a))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
@@ -44,11 +56,10 @@ object TextAnalysis {
     * non-space symbol — the standard pre-tokenizer shape. RE2-compatible so
     * the DuckDB oracle can evaluate the identical pattern. */
   val tokenPattern = "[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"
-  def tokenCount(c: Column): Column = size(regexp_extract_all(c, lit(tokenPattern), lit(0)))
+  def tokenCount(c: Column): Column = textStats(c).getField("n_tokens")
 
   /** Whitespace word count. */
-  def wordCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+  def wordCount(c: Column): Column = textStats(c).getField("n_words")
 
   /**
    * Quality score in [0,1]: mean of
@@ -58,15 +69,17 @@ object TextAnalysis {
    *  - stopword presence  — min(1, hits/5) over all languages
    * (the length/punct/stopword-ratio trio of standard corpus filters).
    */
-  def qualityScore(c: Column): Column = {
+  def qualityScore(c: Column): Column = qualityScoreFrom(c, textStats(c))
+
+  def qualityScoreFrom(c: Column, stats: Column): Column = {
     val chars = length(c).cast("double")
-    val nWords = wordCount(c).cast("double")
+    val nWords = stats.getField("n_words").cast("double")
     val lenScore = least(lit(1.0), chars / 200.0)
     val meanWord = when(nWords > 0, (chars - nWords + lit(1)) / nWords).otherwise(lit(0.0))
     val wordScore = when(meanWord >= 3 && meanWord <= 12, lit(1.0)).otherwise(lit(0.0))
-    val punct = (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double")
+    val punct = stats.getField("punct").cast("double")
     val punctScore = lit(1.0) - least(lit(1.0), punct / greatest(chars / 10.0, lit(1.0)))
-    val hits = stopwords.keys.toSeq.sorted.map(l => stopwordHits(c, l)).reduce(_ + _)
+    val hits = langCodes.indices.map(i => stats.getField("hits").getItem(i)).reduce(_ + _)
     val stopScore = least(lit(1.0), hits.cast("double") / 5.0)
     (lenScore + wordScore + punctScore + stopScore) / 4.0
   }
@@ -76,6 +89,9 @@ object TextAnalysis {
     * at decimal-representation boundaries). */
   def qualityBp(c: Column): Column =
     floor(qualityScore(c) * 10000 + 0.5).cast("int")
+
+  def qualityBpFrom(c: Column, stats: Column): Column =
+    floor(qualityScoreFrom(c, stats) * 10000 + 0.5).cast("int")
 
   /** Content fingerprint: md5 of the normalized text (lowercased, collapsed
     * whitespace) — exact-dup key robust to spacing. */

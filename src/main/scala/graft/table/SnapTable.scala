@@ -125,8 +125,10 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 
   // ---- read path ----------------------------------------------------------
 
-  private def bucketExpr(numBuckets: Int) =
+  private[graft] def bucketExpr(numBuckets: Int) =
     pmod(xxhash64(Schemas.keyCols.map(col): _*), lit(numBuckets)).cast("int")
+
+  private[graft] def numBuckets: Int = snapshot().numBuckets
 
   /** Read the given files, aligning every physical schema generation to the
     * target schema (missing columns -> null, widened types -> cast). */
@@ -168,8 +170,19 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    *   WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t.lsn) THEN UPDATE SET *
    *   WHEN NOT MATCHED THEN INSERT *        -- deletes become tombstones
    */
-  def merge(batch: DataFrame, epoch: Long): MergeResult = {
+  def merge(batch: DataFrame, epoch: Long): MergeResult = merge(batch, epoch, None)
+
+  /** Variant with a precomputed touched-bucket set (the pipeline derives it
+    * in the same aggregation pass as its lineage accounting, saving a scan). */
+  def merge(batch: DataFrame, epoch: Long, knownTouched: Option[Set[Int]]): MergeResult = {
     val spark = batch.sparkSession
+    val debug = sys.env.contains("GRAFT_DEBUG_TIMING")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[merge-timing] $phase: ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
     val snap = snapshot()
     if (epoch <= snap.lastEpoch) return MergeResult.SkippedEpoch
 
@@ -187,7 +200,9 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
 
     // 2. copy-on-write only the touched buckets.
-    val touched = aligned.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    val touched = knownTouched.getOrElse(
+      aligned.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet)
+    mark("touched-buckets")
     val (rewrite, keep) = snap.files.partition(f => touched(f.bucket))
     val old = readAligned(spark, snap, rewrite, target)
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
@@ -208,9 +223,11 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     winners
       .repartition(math.max(1, touched.size), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    mark("merge-write")
 
     // 5. manifest the written files (rows counted from parquet footers).
     val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, newSchemaV)
+    mark("manifest-files")
     val newRows = written.map(_.rows).sum + keep.map(_.rows).sum
     commit(Snapshot(
       version = newVersion,
@@ -228,11 +245,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       schemaV: Int): Seq[DataFileEntry] = {
     val stats = Option(fs.globStatus(new Path(abs, s"$BucketCol=*/part-*")))
       .getOrElse(Array()).toSeq
-    stats.map { st =>
+    // footer reads are independent -> parallel on the driver
+    import scala.collection.parallel.CollectionConverters._
+    stats.par.map { st =>
       val bucket = st.getPath.getParent.getName.stripPrefix(s"$BucketCol=").toInt
       val rows = parquetRowCount(st.getPath)
       DataFileEntry(s"$rel/$BucketCol=$bucket/${st.getPath.getName}", bucket, schemaV, rows)
-    }
+    }.seq
   }
 
   private def parquetRowCount(p: Path): Long = {
