@@ -53,9 +53,9 @@ class SourcesSpec extends SparkSpec {
       ColumnSpec(index = Some(0), `type` = "long", name = Some("k")),
       ColumnSpec(index = Some(1), `type` = "string", name = Some("s")),
       ColumnSpec(index = Some(2), `type` = "date", name = Some("d"))))
-    val rows = df.orderBy(col("s")).collect()
+    val rows = df.orderBy(col("s")).collect() // "bar" (bad row) sorts first
     assert(rows.length == 2)
-    assert(!rows(0).isNullAt(0) && !rows(0).isNullAt(2)) // "1,foo,2024-01-01"
-    assert(rows(1).isNullAt(0) && rows(1).isNullAt(2))   // cast failures -> null
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(2))   // cast failures -> null
+    assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(2)) // "1,foo,2024-01-01"
   }
 }
