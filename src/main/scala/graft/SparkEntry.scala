@@ -42,15 +42,21 @@ object SparkEntry {
     // ---- relational core (what the north star adds over the reference,
     //      SURVEY.md §2.7) ------------------------------------------------
 
+    // DECIMAL-typed outputs are emitted as scaled BIGINTs (suffix _qN =
+    // value * 10^N): Spark and DuckDB give the same exact decimal VALUES but
+    // different decimal WIDTHS (sum(decimal(18,4)) -> decimal(28,4) vs
+    // DECIMAL(38,4)), which the driver's type-aware hash distinguishes. The
+    // scaled-integer form is representation-stable on both sides — the same
+    // trick unix_micros plays for timestamps.
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_price"),
-          sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (sum(col("l_quantity").cast("decimal(18,4)")) * 10000).cast("long").as("sum_qty_q4"),
+          (sum(col("l_extendedprice").cast("decimal(18,4)")) * 10000).cast("long").as("sum_price_q4"),
+          (sum((col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(28,8)")).as("sum_disc_price"),
+            .cast("decimal(28,8)")) * 100000000L).cast("long").as("sum_disc_price_q8"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -61,8 +67,9 @@ object SparkEntry {
         .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
           && col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_extendedprice").cast("decimal(18,4)") *
-            col("l_discount").cast("decimal(18,4)")).cast("decimal(28,8)").as("disc_amount"))
+          ((col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_discount").cast("decimal(18,4)")).cast("decimal(28,8)") *
+            100000000L).cast("long").as("disc_amount_q8"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -75,7 +82,7 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("revenue"),
+        .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 10000).cast("long").as("revenue_q4"),
           count(lit(1)).as("n_orders"))
         .orderBy("n_name")
     }),
@@ -87,7 +94,7 @@ object SparkEntry {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+          (sum(col("l_quantity").cast("decimal(18,4)")) * 10000).cast("long").as("sum_qty_q4"))
         .orderBy("o_orderpriority")
     }),
 
@@ -105,9 +112,9 @@ object SparkEntry {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
-        .withColumn("running_spend",
-          sum(col("o_totalprice").cast("decimal(18,4)")).over(w))
-        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .withColumn("running_spend_q4",
+          (sum(col("o_totalprice").cast("decimal(18,4)")).over(w) * 10000).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend_q4"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -115,7 +122,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice").cast("decimal(18,4)").as("price"))
+          (col("l_extendedprice").cast("decimal(18,4)") * 10000).cast("long").as("price_q4"))
         .limit(10)
     }),
 
@@ -144,7 +151,8 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,4)")).as("qty"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("l_quantity").cast("decimal(18,4)")) * 10000).cast("long").as("qty_q4"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -166,7 +174,7 @@ object SparkEntry {
       Dedup.lww(ev, keys = Seq("user_id", "event_type"), order = Seq("ts", "lsn"))
         .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-          col("value").cast("decimal(18,4)").as("last_value"))
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("last_value_q4"))
         .orderBy("user_id", "event_type")
     }),
 
@@ -177,16 +185,17 @@ object SparkEntry {
           salt = 8)
         .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-          col("value").cast("decimal(18,4)").as("last_value"))
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("last_value_q4"))
         .orderBy("user_id", "event_type")
     }),
 
     "q_event_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,4)")) * 10000).cast("long").as("sum_value_q4"))
         .select(unix_micros(col("hour")).as("hour_us"), col("event_type"), col("n"),
-          col("sum_value"))
+          col("sum_value_q4"))
         .orderBy("hour_us", "event_type")
     }),
 
@@ -278,8 +287,8 @@ object SparkEntry {
     }),
 
     "q_simhash" -> ((s, dir) => {
-      // rows-only (simhash bit algebra is not reasonably DuckDB-expressible;
-      // recall vs exact jaccard is covered in OperatorsSpec)
+      // oracle-gated: the md5-bit signature is recomputed in DuckDB SQL
+      // (strpos/bit algebra), pairs verified via xor + bit_count
       TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
         .orderBy("a", "b")
     }),
@@ -328,7 +337,9 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // rows-only: LSH-bucketed ANN (recall vs brute force in OperatorsSpec)
+      // oracle-gated: the seeded hyperplanes are inlined into the DuckDB
+      // oracle as double literals; identical left-to-right double arithmetic
+      // gives identical sign bits, so candidate sets match exactly
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, tables = 16, nbits = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -347,13 +358,43 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
-    // ---- flagship CDC pipeline (rows-only; oracle equality is enforced
-    //      in CdcEndToEndSpec against the in-memory reducer) --------------
+    // ---- flagship CDC pipeline, oracle-gated: the driver's events table
+    //      IS the changelog (event_id = lsn, synthesized op), replayed
+    //      through the REAL streaming path (multi-epoch foreachBatch,
+    //      checkpoint, dirty gate, LWW dedup, bucketed snapshot MERGE);
+    //      final table state vs a DuckDB window-rank LWW oracle.
+    //      Reference analogue: otsstreamreader/.../core/RecordProcessor.java:
+    //      186-248 (change-stream tail -> state). -------------------------
 
     "q_cdc_pipeline" -> ((s, dir) => {
-      entry(s)
+      val changelog = eventsAsChangelog(t(s, dir, "events"))
+      val work = java.nio.file.Files.createTempDirectory("graft-cdcq").toString
+      changelog.repartition(16).write.parquet(s"$work/log")
+      val table = SnapTable.create(s, s"$work/table", Schemas.payloadV2, numBuckets = 16)
+      val q = CdcPipeline.stream(s, s"$work/log", table, s"$work/ckpt",
+        graft.cdc.PipelineOptions(maxFilesPerTrigger = 4))
+      q.awaitTermination()
+      table.read(s)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          unix_micros(col("ts")).as("ts_us"), col("lsn"))
+        .orderBy("conv_id", "turn_idx")
     })
   )
+
+  /** The driver's `events` table reinterpreted as a CDC changelog of the
+    * transcript envelope: event_id is the LSN, (user_id, event_id % 50) the
+    * merge key, and every 17th event a delete. Deterministic and 1:1
+    * SQL-expressible, so the full pipeline is DuckDB-oracle-gated. */
+  private def eventsAsChangelog(ev: DataFrame): DataFrame =
+    ev.select(
+      col("user_id").cast("string").as("conv_id"),
+      pmod(col("event_id"), lit(50)).cast("int").as("turn_idx"),
+      col("event_type").as("role"),
+      col("props").as("text"),
+      lit(null).cast("string").as("tool"),
+      col("ts"),
+      col("event_id").as("lsn"),
+      when(pmod(col("event_id"), lit(17)) === 0, "D").otherwise("U").as("op"))
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL (same output column names; decimal/rounding matched)
@@ -363,24 +404,25 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_qty_q4,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_q4,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8)))
-        |    AS sum_disc_price,
+        |    * 100000000 AS BIGINT) AS sum_disc_price_q8,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))
-        |       AS DECIMAL(28,8)) AS disc_amount
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))
+        |       AS DECIMAL(28,8)) * 100000000 AS BIGINT) AS disc_amount_q8
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount > 0.05
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_join_broadcast" ->
-      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_q4,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -388,7 +430,7 @@ object SparkEntry {
 
     "q_join_shuffle" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_qty_q4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -401,13 +443,15 @@ object SparkEntry {
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 AS BIGINT)
+        |    AS running_spend_q4
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_sort_limit" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_q4
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 10""".stripMargin,
 
@@ -427,7 +471,7 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS qty_q4
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
@@ -438,21 +482,24 @@ object SparkEntry {
 
     "q_cdc_lww" ->
       """SELECT user_id, event_type, event_id AS last_event_id,
-        |  epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,4)) AS last_value
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS last_value_q4
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "q_cdc_lww_salted" ->
       """SELECT user_id, event_type, event_id AS last_event_id,
-        |  epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,4)) AS last_value
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS last_value_q4
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "q_event_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_value_q4
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dirty_gate" ->
@@ -484,9 +531,14 @@ object SparkEntry {
         |  CASE WHEN length(c_name) > 12 THEN substr(c_name, 13) ELSE '' END AS masked
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // DataX's dx_filter null rules are NOT SQL 3VL: a null cell never matches
+    // a like/range predicate, so null rows SURVIVE the drop-filter (reference:
+    // core/.../transformer/FilterTransformer.java:74-77, 205-212). The oracle
+    // encodes that explicitly rather than relying on a null-free fixture.
     "q_dx_filter" ->
       """SELECT event_type, count(*) AS n FROM events
-        |WHERE NOT regexp_full_match(event_type, 'cl.*') AND NOT (value > 300)
+        |WHERE (event_type IS NULL OR NOT regexp_full_match(event_type, 'cl.*'))
+        |  AND (value IS NULL OR NOT (value > 300))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cast_ladder" ->
@@ -539,7 +591,32 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT kind, count(*) AS n,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |             WHEN 1 THEN 'audio' ELSE 'video' END AS kind, text
+        |      FROM documents)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q_cdc_pipeline" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_simhash" -> simhashOracle,
+
+    "q_ann_lsh" -> annLshOracle
   )
 
   /** Exhaustive word-3-gram jaccard pairs >= 0.5 — oracle for both the exact
@@ -580,6 +657,70 @@ object SparkEntry {
        |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
        |FROM (SELECT doc_id, lang, list_max([$structs]) AS best FROM documents)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash pairs oracle: recomputes the md5-bit signature in SQL (bit j =
+    * bit j%4 of hex digit j/4 of md5(token)), then the full pair join with
+    * xor + bit_count — exact, no pigeonhole pruning needed at oracle scale. */
+  private val simhashOracle: String = {
+    val bits = graft.operators.TextDedup.SimhashBits
+    val maxHamming = 8
+    val sums = (0 until bits).map { j =>
+      val digit = j / 4 + 1
+      val b = j % 4
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $digit, 1)) - 1) >> $b) & 1 = 1" +
+        s" THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val assemble = (0 until bits).map(j =>
+      s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+       |  FROM documents
+       |), hs AS (SELECT doc_id, md5(tok) AS h FROM toks
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hs GROUP BY doc_id
+       |), sig AS (SELECT doc_id, $assemble AS simhash FROM sums)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** ANN-LSH oracle: the seeded hyperplanes inlined as double literals; the
+    * projection is written as the same left-to-right double sum Spark
+    * computes, so sign bits (and hence buckets and candidates) are
+    * bit-identical; rank within candidates by exact cosine. */
+  private val annLshOracle: String = {
+    val (tables, nbits, dim, seed, k) = (16, 4, 64, 42L, 5)
+    val planes = graft.operators.Similarity.hyperplanes(tables, nbits, dim, seed)
+    def proj(t: Int, b: Int): String =
+      (0 until dim).map(d =>
+        s"CAST(embedding[${d + 1}] AS DOUBLE) * (${planes(t)(b)(d)})").mkString(" + ")
+    def bkt(t: Int): String =
+      (0 until nbits).map(b =>
+        s"(CASE WHEN ${proj(t, b)} >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    val branches = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, CAST(${bkt(t)} AS INT) AS bkt FROM embeddings")
+      .mkString("\nUNION ALL\n")
+    s"""WITH bkts AS (
+       |$branches
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bkts q JOIN bkts c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                             CAST(ce.embedding AS DOUBLE[])) DESC,
+       |      neighbor_id) AS rank
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private val qualityOracle: String = {

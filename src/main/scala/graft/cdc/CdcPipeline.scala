@@ -25,11 +25,21 @@ final case class PartitionLineage(partition: Int, rows: Long, minLsn: Long, maxL
 final case class PipelineOptions(
     errorLimit: ErrorLimit = ErrorLimit(record = None, percentage = Some(0.02)),
     maxFilesPerTrigger: Int = 8,
+    /** Byte-rate budget per micro-batch — the reference channel's bps
+      * throttle (reference: core/.../transport/channel/Channel.java:176-239
+      * budgets BYTES per flow-control window, not only records). When set it
+      * replaces the file-count trigger (Spark's file source treats the two
+      * as alternative admission limits). */
+    maxBytesPerTrigger: Option[Long] = None,
     saltedDedup: Boolean = false,
     /** Per-event text enrichment (quality score, language id, token count)
       * applied before the merge — the training-data-pipeline ingest shape.
       * The enrichment columns reach the table via schema evolution. */
-    enrich: Boolean = false)
+    enrich: Boolean = false,
+    /** Max quarantined rows persisted per dirty reason per epoch (the
+      * reference's StdoutPluginCollector keeps sampled dirty records for
+      * inspection; we persist them under <table>/meta/dirty/). */
+    dirtySampleN: Int = 100)
 
 /**
  * The end-to-end CDC pipeline: changelog tail -> dirty sideband -> LWW dedup
@@ -79,7 +89,11 @@ object CdcPipeline {
         .groupBy(_.getString(1)).map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
       val nClean = acct.filter(_.isNullAt(1)).map(_.getLong(2)).sum
       val stats = DirtyStats(nClean, byReason.values.sum, byReason.toMap)
-        .enforce(opts.errorLimit)
+      // Quarantine samples BEFORE the error-limit gate so a failed batch is
+      // diagnosable from the persisted offenders (reference: dirty records
+      // retained by TaskPluginCollector even when the job then aborts).
+      if (stats.dirty > 0) writeDirtySamples(table, tagged, epoch, opts.dirtySampleN)
+      stats.enforce(opts.errorLimit)
       val touched = acct.filter(_.isNullAt(1))
         .flatMap(_.getSeq[Int](5)).toSet
       mark("accounting", t0)
@@ -106,6 +120,28 @@ object CdcPipeline {
       writeLineage(table, rec)
       rec
     }
+  }
+
+  /** Persist up to `n` offending rows per dirty reason for this epoch under
+    * `<table>/meta/dirty/epoch-N/` (row + __dirty_reason), alongside the
+    * lineage JSON — the reference's sampled dirty-record capture
+    * (reference: core/.../statistics/plugin/task/StdoutPluginCollector.java). */
+  private def writeDirtySamples(table: SnapTable, tagged: DataFrame, epoch: Long,
+      n: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(Dirty.ReasonCol).orderBy(col("lsn").asc_nulls_first)
+    tagged.filter(col(Dirty.ReasonCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+      .write.mode("overwrite").parquet(f"${table.root}/meta/dirty/epoch-$epoch%08d")
+  }
+
+  /** Read back the quarantined sample rows of an epoch (empty frame if the
+    * epoch had no dirty rows). */
+  def readDirtySamples(spark: SparkSession, table: SnapTable, epoch: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(table.root, f"meta/dirty/epoch-$epoch%08d")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
   private def writeLineage(table: SnapTable, rec: LineageRecord): Unit = {
@@ -158,11 +194,13 @@ object CdcPipeline {
    */
   def stream(spark: SparkSession, changelogDir: String, table: SnapTable,
       checkpointDir: String, opts: PipelineOptions = PipelineOptions()): StreamingQuery = {
-    val src = spark.readStream
+    val reader = spark.readStream
       .schema(Schemas.envelope)
-      .option("maxFilesPerTrigger", opts.maxFilesPerTrigger)
       .option("recursiveFileLookup", "true")
-      .parquet(changelogDir)
+    val src = (opts.maxBytesPerTrigger match {
+      case Some(bytes) => reader.option("maxBytesPerTrigger", bytes)
+      case None => reader.option("maxFilesPerTrigger", opts.maxFilesPerTrigger)
+    }).parquet(changelogDir)
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

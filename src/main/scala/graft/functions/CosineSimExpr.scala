@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExprBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -26,6 +27,18 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 
+  /** Only array<float> — an array<double> input would silently read garbage
+    * through ArrayData.getFloat, so reject it at analysis time. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"CosineSim requires array<float> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -39,7 +52,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
 object CosineSim {
 
-  /** dot/(|a||b|) in double, accumulating left-to-right. */
+  /** dot/(|a||b|) in double, accumulating left-to-right. Zero-norm input is
+    * defined as similarity 0.0 (not NaN). */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -54,7 +68,8 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def cosineSim(a: Column, b: Column): Column =

@@ -74,6 +74,15 @@ object Schemas {
   /** Merge keys of the target table. */
   val mergeKeys: Seq[String] = Seq("conv_id", "turn_idx")
 
+  /** Canonical hash types for the merge keys: every integral key hashes as
+    * LONG so bucket assignment survives schema widening (xxhash64 hashes
+    * IntegerType and LongType differently — without the canonical cast, a
+    * turn_idx int->long widening would strand old rows in buckets computed
+    * with the int hash while new batches bucket with the long hash, leaving
+    * duplicate keys across buckets). */
+  val mergeKeyCanonicalTypes: Seq[(String, String)] =
+    Seq("conv_id" -> "string", "turn_idx" -> "long")
+
   /** Last-writer-wins ordering columns (ties on ts broken by lsn, never by
     * arrival order — SURVEY.md §7.4 risk 3). */
   val lwwOrder: Seq[String] = Seq("ts", "lsn")

@@ -118,31 +118,45 @@ object TextDedup {
       .drop("ga", "gb", "inter", ta, tb)
   }
 
+  /** SimHash bit budget: 60 = 15 hex digits of the token md5 (4 bits each).
+    * md5 (not xxhash64) so the signature is reproducible bit-for-bit by any
+    * engine with an md5 function — the DuckDB oracle recomputes it in SQL. */
+  val SimhashBits = 60
+
   /**
-   * 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
-   * hash bits; sign gives the fingerprint bit. Near-dups = fingerprints
-   * within `maxHamming`. Candidate generation partitions the 64 bits into
+   * SimHash over word tokens: per bit, sum +1/-1 weighted by token hash
+   * bits; sign gives the fingerprint bit. Near-dups = fingerprints within
+   * `maxHamming`. Candidate generation partitions the bits into
    * `maxHamming + 1` chunks (pigeonhole: any pair within maxHamming agrees
    * exactly on at least one chunk) and bucket-joins on (chunk, chunkBits).
+   *
+   * Token-hash bit j = bit (j%4) of hex digit (j/4) of md5(token) — one md5
+   * per distinct (doc, token), all bit extraction inside codegen.
    */
-  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      bits: Int = SimhashBits): DataFrame = {
+    require(bits % 4 == 0 && bits <= 60, "bits must be a multiple of 4, <= 60")
     val toks = df.select(col(idCol),
       explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // bit j contribution: +1 if bit set else -1; simhash bit j = sign(sum).
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until bits).map { j =>
+      val digit = j / 4 + 1 // 1-based hex digit position in the md5 string
+      val b = j % 4
+      sum(when(expr(
+        s"((instr('0123456789abcdef', substring(h, $digit, 1)) - 1) >> $b) & 1") === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
     toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), (0 until 64).map(j =>
+      .select(col(idCol), (0 until bits).map(j =>
         when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   def simhashPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bits: Int = SimhashBits): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    val sigs = simhash(df, idCol, textCol)
+    val bitsPer = bits / chunks
+    val sigs = simhash(df, idCol, textCol, bits)
     val keyed = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
         s"shiftright(simhash, c * $bitsPer) & ${(1L << bitsPer) - 1})"))

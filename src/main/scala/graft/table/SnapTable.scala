@@ -125,8 +125,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 
   // ---- read path ----------------------------------------------------------
 
+  /** Bucket assignment hashes CANONICALLY-CAST key columns (integral keys
+    * always as long) so the bucket of a key is invariant under merge-key
+    * type widening — rows written before an int->long evolution land in the
+    * same bucket as rows after it. */
   private[graft] def bucketExpr(numBuckets: Int) =
-    pmod(xxhash64(Schemas.keyCols.map(col): _*), lit(numBuckets)).cast("int")
+    pmod(xxhash64(graft.model.Schemas.mergeKeyCanonicalTypes
+      .map { case (n, t) => col(n).cast(t) }: _*), lit(numBuckets)).cast("int")
 
   private[graft] def numBuckets: Int = snapshot().numBuckets
 

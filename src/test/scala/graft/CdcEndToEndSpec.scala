@@ -132,6 +132,66 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(tableState(t) == Seq(("c1", 2, "b")))
   }
 
+  test("dirty samples are persisted per epoch alongside lineage") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 4)
+    val good = (1 to 50).map(i => ChangeEvent("c1", i, "user", s"t$i", null,
+      new java.sql.Timestamp(1000L + i), i.toLong, "I"))
+    val bad = Seq(
+      ChangeEvent(null, 1, "user", "x", null, new java.sql.Timestamp(1000), 100, "I"),
+      ChangeEvent("c2", 1, "user", "x", null, new java.sql.Timestamp(1000), 101, "Z"))
+    CdcPipeline.applyBatch(t, (good ++ bad).toDF(), epoch = 0,
+      PipelineOptions(errorLimit = ErrorLimit(record = Some(10))))
+    val samples = CdcPipeline.readDirtySamples(spark, t, 0)
+    assert(samples.isDefined, "quarantine dir must exist for a dirty epoch")
+    val rows = samples.get.select("lsn", Dirty.ReasonCol).as[(Long, String)].collect().toSet
+    assert(rows == Set((100L, "conv_id_null"), (101L, "op_domain")))
+    // epochs with no dirty rows write no quarantine dir
+    CdcPipeline.applyBatch(t, good.toDF(), epoch = 1)
+    assert(CdcPipeline.readDirtySamples(spark, t, 1).isEmpty)
+  }
+
+  test("bucket assignment is stable under merge-key type widening") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 8)
+    val before = (1 to 100).map(i => ChangeEvent(s"c$i", i, "user", "v1", null,
+      new java.sql.Timestamp(1000L + i), i.toLong, "I"))
+    CdcPipeline.applyBatch(t, before.toDF(), epoch = 0)
+    // Same keys arrive with turn_idx WIDENED to long: every row must land in
+    // the same bucket as its int-typed predecessor, so the LWW winner
+    // replaces it (no duplicate keys stranded across buckets).
+    val widened = before.map(e => e.copy(text = "v2", ts = new java.sql.Timestamp(2000L + e.lsn),
+      lsn = e.lsn + 1000)).toDF()
+      .withColumn("turn_idx", col("turn_idx").cast("long"))
+    CdcPipeline.applyBatch(t, widened, epoch = 1)
+    val state = t.read(spark).select("conv_id", "turn_idx", "text")
+      .as[(String, Long, String)].collect().toSeq
+    assert(state.size == 100, s"expected 100 unique keys, got ${state.size} " +
+      "(duplicates mean bucket assignment diverged across the widening)")
+    assert(state.forall(_._3 == "v2"))
+  }
+
+  test("byte-rate throttle bounds per-epoch input (Channel bps parity)") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val totalBytes = {
+      val fs = new org.apache.hadoop.fs.Path(log)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def walk(p: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(p).map(s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.startsWith("part-")) s.getLen else 0L).sum
+      walk(new org.apache.hadoop.fs.Path(log))
+    }
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val q = CdcPipeline.stream(spark, log, t, tmpDir("ckpt"),
+      PipelineOptions(maxBytesPerTrigger = Some(totalBytes / 4)))
+    q.awaitTermination()
+    val committed = CdcPipeline.readLineage(spark, t).filter(_.result == "committed")
+    assert(committed.size >= 3,
+      s"byte budget ${totalBytes / 4} of $totalBytes must split the replay into " +
+        s">=3 epochs, got ${committed.size}")
+    assert(tableState(t) == oracleState(collectEvents()))
+  }
+
   test("dirty gate quarantines and enforces limits") {
     val good = Seq(ChangeEvent("c1", 1, "user", "x", null,
       new java.sql.Timestamp(1000), 1, "I"))

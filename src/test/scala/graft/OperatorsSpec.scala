@@ -141,7 +141,7 @@ class OperatorsSpec extends SparkSpec {
   test("cosine expression matches scala computation") {
     val rows = emb.limit(3).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
-    val df = Similarity.nearDupPairs(emb.limit(3), threshold = -1.0)
+    val df = Similarity.nearDupPairsExact(emb.limit(3), threshold = -1.0)
       .as[(Long, Long, Double)].collect()
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum

@@ -70,6 +70,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!s.contains("zip_with"), s"zip_with falls back to interpreted eval:\n$s")
   }
 
+  test("embedding near-dup is LSH bucket-joined, never a cross product") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.Similarity.nearDupPairs(emb, 0.4)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s"near-dup must not cross-join:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must not nested-loop-join:\n$s")
+    // candidate generation is an equi-join on (tbl, bkt)
+    assert(s.contains("tbl") && s.contains("bkt"), s)
+    // and the result still matches the exhaustive path exactly
+    val exact = graft.operators.Similarity.nearDupPairsExact(emb, 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH near-dup recall broke: ${exact.diff(lsh)}")
+  }
+
   test("snapshot-table merge groups by bucket (shuffle keyed on merge keys)") {
     import spark.implicits._
     val events = Seq(
