@@ -139,19 +139,34 @@ object Bench {
     // linearly, so the 8->32 local ratio UNDERSTATES cluster scaling — the
     // pure-CPU ceiling of this box is itself 0.82 at 8->32). Raw merge (no
     // enrichment) reported for reference.
-    // The sandbox host shows real CPU-steal spikes (noisy neighbor), so the
-    // N/4N criterion pair is measured twice and the best run is kept.
+    // The sandbox host shows real CPU-steal spikes (noisy neighbor): EVERY
+    // level runs best-of-REPS (default 2) with per-rep seconds printed and
+    // recorded, and a rep spread > 3x flags the level as contended — a noisy
+    // official run is self-evident instead of silently recorded.
     val coresList = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "1,4,8,32")
       .split(",").map(_.trim.toInt).toSeq
-    def best(runs: Seq[(Long, Double)]): (Long, Double) = runs.minBy(_._2)
-    val enriched = coresList.map { c =>
-      val reps = if (c <= 4) 2 else 1
-      c -> best((1 to reps).map(_ => cdcRun(c, logDir, "enriched")))
-    }.toMap
+    val repsPerLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    final case class Level(events: Long, bestSec: Double, repSecs: Seq[Double]) {
+      def contended: Boolean = repSecs.max / repSecs.min > 3.0
+    }
+    def measure(c: Int, mode: String, reps: Int): Level = {
+      val runs = (1 to reps).map { i =>
+        val r = cdcRun(c, logDir, mode)
+        System.err.println(f"[bench] local[$c] $mode rep$i: ${r._2}%.2fs " +
+          f"(${r._1 / r._2}%.0f ev/s)")
+        r
+      }
+      val lv = Level(runs.head._1, runs.map(_._2).min, runs.map(_._2))
+      if (lv.contended) System.err.println(
+        f"[bench] WARNING local[$c] rep spread ${lv.repSecs.max / lv.repSecs.min}%.1fx " +
+          "> 3x — host contention, treat this level's numbers as unreliable")
+      lv
+    }
+    val enriched = coresList.map(c => c -> measure(c, "enriched", repsPerLevel)).toMap
     val raw = Seq(8).filter(coresList.contains)
-      .map(c => c -> cdcRun(c, logDir, "raw")).toMap
+      .map(c => c -> measure(c, "raw", 1)).toMap
 
-    def thr(r: (Long, Double)): Double = r._1 / r._2
+    def thr(l: Level): Double = l.events / l.bestSec
     def eff(a: Int, b: Int): Double =
       if (enriched.contains(a) && enriched.contains(b))
         (thr(enriched(b)) / thr(enriched(a))) / (b.toDouble / a)
@@ -161,16 +176,19 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def runsJson(m: Map[Int, (Long, Double)]): String =
-      m.toSeq.sortBy(_._1).map { case (c, r) =>
-        f""""local$c":{"sec":${r._2}%.2f,"events_per_sec":${thr(r)}%.0f}"""
+    def runsJson(m: Map[Int, Level]): String =
+      m.toSeq.sortBy(_._1).map { case (c, l) =>
+        val reps = l.repSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
+        f""""local$c":{"sec":${l.bestSec}%.2f,"events_per_sec":${thr(l)}%.0f,""" +
+          s""""rep_secs":$reps,"contended":${l.contended}}"""
       }.mkString("{", ",", "}")
-    val events = enriched.values.headOption.map(_._1).getOrElse(0L)
+    val events = enriched.values.headOption.map(_.events).getOrElse(0L)
     val headlineThr = enriched.values.map(thr).maxOption.getOrElse(0.0)
+    def effStr(x: Double): String = if (x.isNaN) "null" else f"$x%.3f"
     val cdc = f"""{"events":$events,"gen_sec":$genSec%.2f,""" +
       s""""enriched":${runsJson(enriched)},"raw":${runsJson(raw)},""" +
-      f""""scaling_efficiency_N_to_4N_(1_to_4)":$eff1to4%.3f,""" +
-      f""""scaling_efficiency_8_to_32":$eff8to32%.3f}"""
+      s""""scaling_efficiency_N_to_4N_(1_to_4)":${effStr(eff1to4)},""" +
+      s""""scaling_efficiency_8_to_32":${effStr(eff8to32)}}"""
     println(f"""{"metric":"cdc_enriched_events_per_sec_peak","value":$headlineThr%.0f,""" +
       f""""unit":"events/sec","total_query_sec":$total%.2f,"queries":$qs,""" +
       s""""cdc":$cdc,"sf":"$sfDir"}""")

@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
  *          [--buckets N] [--max-files-per-trigger N]
  *   show   --table DIR [--limit N]
  *   lineage --table DIR
+ *   job    --job FILE.json        # DataX-shaped job config (reader ->
+ *                                 # transformer chain -> writer), the
+ *                                 # `datax.py job.json` parity entry
  */
 object Main {
 
@@ -73,6 +76,15 @@ object Main {
             f"buckets=${l.bucketsRewritten}%3d latencyMs=${l.mergeLatencyMs}%6d " +
             s"partitions=${l.partitions.map(p => s"p${p.partition}:[${p.minLsn},${p.maxLsn}]x${p.rows}").mkString(",")}")
         }
+
+      case "job" =>
+        val json = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(opts("job"))), java.nio.charset.StandardCharsets.UTF_8)
+        val report = graft.job.Job.run(spark, json)
+        println(s"job ${report.states.mkString("->")} read=${report.rowsRead} " +
+          s"written=${report.rowsWritten} dirty=${report.rowsDirty} " +
+          s"elapsedMs=${report.elapsedMs}${report.error.map(e => s" error=$e").getOrElse("")}")
+        if (report.error.nonEmpty) sys.exit(1)
 
       case other =>
         System.err.println(s"unknown subcommand '$other'"); sys.exit(2)

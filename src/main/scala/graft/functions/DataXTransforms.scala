@@ -116,10 +116,14 @@ object DataXTransforms {
   final case class Pad(column: String, mode: String, len: Int, pad: String) extends Transform
   final case class Replace(column: String, startIdx: Int, len: Int, rep: String) extends Transform
   final case class Filter(column: String, op: String, value: String) extends Transform
-  /** dx_groovy parity: arbitrary row rewrite as a Column expression builder
-    * (the reference compiles user Groovy per job, reference:
-    * core/.../transformer/GroovyTransformer.java:17-91). */
+  /** Arbitrary compile-time rewrite as a DataFrame function. */
   final case class Custom(apply: DataFrame => DataFrame) extends Transform
+  /** dx_groovy parity: a USER-SUPPLIED Scala snippet compiled at RUNTIME,
+    * once per distinct source (the reference compiles user Groovy once per
+    * job, reference: core/.../transformer/GroovyTransformer.java:17-91).
+    * The snippet body sees `df: DataFrame` with sql functions imported and
+    * must evaluate to a DataFrame. */
+  final case class Script(code: String) extends Transform
 
   /** Sequential fold over the chain, like TransformerExchanger: filters drop
     * rows, scalar transforms rewrite one column. */
@@ -131,5 +135,32 @@ object DataXTransforms {
         d.withColumn(colName, dxReplace(col(colName), s, l, r))
       case (d, Filter(colName, op, v)) => d.filter(!dxFilterPred(col(colName), op, v))
       case (d, Custom(f)) => f(d)
+      case (d, Script(code)) => ScriptCompiler.compile(code)(d)
     }
+}
+
+/**
+ * Runtime Scala compilation for [[DataXTransforms.Script]] — the engine-side
+ * machinery of dx_groovy: user code arrives as text in the job config, is
+ * compiled ONCE per distinct source (ToolBox, cached), and runs as a plain
+ * `DataFrame => DataFrame`. Because the result is still a DataFrame plan,
+ * user logic composes with Catalyst (pushdown/codegen) instead of forcing a
+ * row-at-a-time escape hatch like the reference's per-record Groovy call.
+ */
+object ScriptCompiler {
+  import scala.collection.concurrent.TrieMap
+  import scala.tools.reflect.ToolBox
+
+  private lazy val toolbox = scala.reflect.runtime.currentMirror.mkToolBox()
+  private val cache = TrieMap.empty[String, DataFrame => DataFrame]
+
+  def compile(code: String): DataFrame => DataFrame =
+    cache.getOrElseUpdate(code, synchronized {
+      toolbox.eval(toolbox.parse(
+        s"""(df: org.apache.spark.sql.DataFrame) => {
+           |  import org.apache.spark.sql.functions._
+           |  import org.apache.spark.sql.{Column, DataFrame}
+           |  $code
+           |}""".stripMargin)).asInstanceOf[DataFrame => DataFrame]
+    })
 }

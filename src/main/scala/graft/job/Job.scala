@@ -1,0 +1,302 @@
+package graft.job
+
+import graft.cdc.{CdcPipeline, Dirty, ErrorLimit, PipelineOptions}
+import graft.functions.DataXTransforms
+import graft.model.Schemas
+import graft.sources.{TypedFileSink, TypedFileSource}
+import graft.table.SnapTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Job-JSON entry point: the reference's sole UX is `datax.py job.json`
+ * (reference: core/src/main/java/com/alibaba/datax/core/Engine.java:122-172;
+ * shipped smoke job core/src/main/job/job.json:1-52). This module parses the
+ * same job shape — `job.setting.{speed,errorLimit}` +
+ * `job.content[0].{reader,transformer[],writer}` — and runs it through the
+ * Spark engine: readers become DataFrame scans, the transformer chain becomes
+ * [[DataXTransforms.applyChain]], writers become sinks (including the
+ * snapshot-table MERGE upsert), and `errorLimit` gates the dirty sideband.
+ *
+ * Readers: streamreader (synthetic, column value/random specs — reference
+ * streamreader/.../StreamReader.java:241-332), txtfilereader (CSV + typed
+ * column projection), parquetreader, changelogreader (CDC envelope dir).
+ * Writers: streamwriter (count/print), txtfilewriter, parquetwriter,
+ * snaptablewriter (MERGE upsert).
+ */
+object Job {
+
+  // ---- config model --------------------------------------------------------
+
+  final case class Speed(channel: Option[Int], byte: Option[Long], record: Option[Long])
+  final case class Settings(speed: Speed, errorLimit: ErrorLimit)
+  final case class TransformSpec(name: String, columnIndex: Option[Int],
+      columnName: Option[String], paras: Seq[String])
+  final case class PluginSpec(name: String, parameter: JValue)
+  final case class Content(reader: PluginSpec, transformers: Seq[TransformSpec],
+      writer: PluginSpec)
+  final case class Spec(settings: Settings, content: Content)
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  def parse(json: String): Spec = {
+    val root = JsonMethods.parse(json) \ "job"
+    val setting = root \ "setting"
+    val speed = Speed(
+      (setting \ "speed" \ "channel").extractOpt[Int],
+      (setting \ "speed" \ "byte").extractOpt[Long],
+      (setting \ "speed" \ "record").extractOpt[Long])
+    val errorLimit = ErrorLimit(
+      (setting \ "errorLimit" \ "record").extractOpt[Long],
+      (setting \ "errorLimit" \ "percentage").extractOpt[Double])
+    val content = (root \ "content") match {
+      case JArray(c :: _) => c
+      case other => other // single-object content tolerated
+    }
+    val transformers = (content \ "transformer") match {
+      case JArray(ts) => ts.map { t =>
+        TransformSpec((t \ "name").extract[String],
+          (t \ "parameter" \ "columnIndex").extractOpt[Int],
+          (t \ "parameter" \ "columnName").extractOpt[String],
+          (t \ "parameter" \ "paras") match {
+            case JArray(ps) => ps.map {
+              case JString(s) => s
+              case JInt(i) => i.toString
+              case JDouble(d) => d.toString
+              case other2 => other2.toString
+            }
+            case _ => Nil
+          })
+      }
+      case _ => Nil
+    }
+    Spec(
+      Settings(speed, errorLimit),
+      Content(
+        PluginSpec((content \ "reader" \ "name").extract[String],
+          content \ "reader" \ "parameter"),
+        transformers,
+        PluginSpec((content \ "writer" \ "name").extract[String],
+          content \ "writer" \ "parameter")))
+  }
+
+  // ---- readers -------------------------------------------------------------
+
+  private def columnSpecs(param: JValue): Seq[TypedFileSource.ColumnSpec] =
+    (param \ "column") match {
+      case JArray(cols) => cols.map { c =>
+        TypedFileSource.ColumnSpec(
+          (c \ "index").extractOpt[Int],
+          (c \ "value") match {
+            case JNothing | JNull => None
+            case JString(s) => Some(s)
+            case JInt(i) => Some(i.toString)
+            case JBool(b) => Some(b.toString)
+            case JDouble(d) => Some(d.toString)
+            case v => Some(v.toString)
+          },
+          (c \ "type").extractOpt[String].getOrElse("string"),
+          (c \ "format").extractOpt[String].orElse((c \ "dateFormat").extractOpt[String]),
+          (c \ "name").extractOpt[String])
+      }
+      case _ => Nil
+    }
+
+  /** streamreader: `sliceRecordCount` rows per channel from `column`
+    * value/random specs — deterministic (seeded hash) where the reference
+    * uses Random. */
+  private def readStream(spark: SparkSession, param: JValue, channels: Int): DataFrame = {
+    val count = (param \ "sliceRecordCount").extractOpt[Long].getOrElse(10000L)
+    val seed = (param \ "seed").extractOpt[Long].getOrElse(42L)
+    val base = spark.range(count * channels).repartition(channels)
+    val cols = (param \ "column") match {
+      case JArray(cs) => cs.zipWithIndex.map { case (c, i) =>
+        val typ = (c \ "type").extractOpt[String].getOrElse("string")
+        val name = (c \ "name").extractOpt[String].getOrElse(s"col$i")
+        (c \ "random").extractOpt[String] match {
+          case Some(range) =>
+            val Array(lo, hi) = range.split(",").map(_.trim.toLong)
+            val span = math.max(1L, hi - lo + 1)
+            val v = lit(lo) + pmod(xxhash64(col("id"), lit(seed + i)), lit(span))
+            (typ.toLowerCase match {
+              case "long" | "int" => v
+              case "double" => v.cast("double")
+              case "string" => v.cast("string")
+              case "date" => timestamp_seconds(v)
+              case "bool" => (v % 2 === 0)
+              case other => throw new IllegalArgumentException(s"random type '$other'")
+            }).as(name)
+          case None =>
+            val raw = (c \ "value") match {
+              case JString(s) => s
+              case JInt(x) => x.toString
+              case JBool(b) => b.toString
+              case JDouble(d) => d.toString
+              case v => v.toString
+            }
+            (typ.toLowerCase match {
+              case "string" => lit(raw)
+              case "long" | "int" => lit(raw).cast("long")
+              case "double" => lit(raw).cast("double")
+              case "bool" => lit(raw).cast("boolean")
+              case "bytes" => encode(lit(raw), "UTF-8")
+              case "date" | "datetime" | "timestamp" =>
+                DataXTransforms.castLadderTimestamp(lit(raw))
+              case other => throw new IllegalArgumentException(s"column type '$other'")
+            }).as(name)
+        }
+      }
+      case _ => throw new IllegalArgumentException("streamreader needs column specs")
+    }
+    base.select(cols: _*)
+  }
+
+  private def read(spark: SparkSession, p: PluginSpec, channels: Int): DataFrame =
+    p.name.toLowerCase match {
+      case "streamreader" => readStream(spark, p.parameter, channels)
+      case "txtfilereader" | "csvreader" =>
+        val paths = (p.parameter \ "path") match {
+          case JString(s) => Seq(s)
+          case JArray(ps) => ps.map(_.extract[String])
+          case _ => throw new IllegalArgumentException("txtfilereader needs path")
+        }
+        TypedFileSource.readCsv(spark, paths, columnSpecs(p.parameter),
+          TypedFileSource.CsvConfig(
+            fieldDelimiter = (p.parameter \ "fieldDelimiter").extractOpt[String].getOrElse(","),
+            nullFormat = (p.parameter \ "nullFormat").extractOpt[String],
+            skipHeader = (p.parameter \ "skipHeader").extractOpt[Boolean].getOrElse(false)))
+      case "parquetreader" =>
+        spark.read.parquet((p.parameter \ "path").extract[String])
+      case "orcreader" =>
+        TypedFileSource.readOrc(spark, Seq((p.parameter \ "path").extract[String]),
+          columnSpecs(p.parameter))
+      case "changelogreader" =>
+        spark.read.schema(Schemas.envelope)
+          .option("recursiveFileLookup", "true")
+          .parquet((p.parameter \ "path").extract[String])
+      case other => throw new IllegalArgumentException(s"unknown reader '$other'")
+    }
+
+  // ---- transformer chain ---------------------------------------------------
+
+  private def toTransform(df: DataFrame, t: TransformSpec): DataXTransforms.Transform = {
+    val colName = t.columnName.getOrElse(
+      df.columns(t.columnIndex.getOrElse(
+        throw new IllegalArgumentException(s"${t.name} needs columnIndex or columnName"))))
+    t.name match {
+      case "dx_substr" => DataXTransforms.Substr(colName, t.paras(0).toInt, t.paras(1).toInt)
+      case "dx_pad" => DataXTransforms.Pad(colName, t.paras(0), t.paras(1).toInt, t.paras(2))
+      case "dx_replace" =>
+        DataXTransforms.Replace(colName, t.paras(0).toInt, t.paras(1).toInt, t.paras(2))
+      case "dx_filter" => DataXTransforms.Filter(colName, t.paras(0), t.paras(1))
+      case other => throw new IllegalArgumentException(s"unknown transformer '$other'")
+    }
+  }
+
+  /** dx_script needs no column binding — handled before [[toTransform]]. */
+  private def toTransformAny(df: DataFrame, t: TransformSpec): DataXTransforms.Transform =
+    if (t.name == "dx_script" || t.name == "dx_groovy")
+      DataXTransforms.Script(t.paras.headOption.getOrElse(
+        throw new IllegalArgumentException("dx_script needs the code as paras[0]")))
+    else toTransform(df, t)
+
+  // ---- writers -------------------------------------------------------------
+
+  /** Returns rows written. */
+  private def write(df: DataFrame, p: PluginSpec): Long = p.name.toLowerCase match {
+    case "streamwriter" =>
+      val doPrint = (p.parameter \ "print").extractOpt[Boolean].getOrElse(false)
+      if (doPrint) df.show(20, truncate = 40)
+      df.count()
+    case "txtfilewriter" | "csvwriter" =>
+      val path = (p.parameter \ "path").extract[String]
+      TypedFileSink.writeCsv(df, path, TypedFileSink.WriteConfig(
+        fieldDelimiter = (p.parameter \ "fieldDelimiter").extractOpt[String].getOrElse(","),
+        writeMode = (p.parameter \ "writeMode").extractOpt[String].getOrElse("append")))
+      df.count()
+    case "parquetwriter" =>
+      val path = (p.parameter \ "path").extract[String]
+      val mode = (p.parameter \ "writeMode").extractOpt[String].getOrElse("append") match {
+        case "append" => "append"
+        case "nonConflict" => "errorifexists"
+        case "truncate" => "overwrite"
+      }
+      df.write.mode(mode).parquet(path)
+      df.count()
+    case "orcwriter" =>
+      val path = (p.parameter \ "path").extract[String]
+      TypedFileSink.writeOrc(df, path, TypedFileSink.WriteConfig(
+        writeMode = (p.parameter \ "writeMode").extractOpt[String].getOrElse("append")))
+      df.count()
+    case "snaptablewriter" =>
+      val path = (p.parameter \ "path").extract[String]
+      val spark = df.sparkSession
+      val table =
+        if (new java.io.File(s"$path/meta").exists) SnapTable.load(spark, path)
+        else SnapTable.create(spark, path, Schemas.payloadV2,
+          (p.parameter \ "buckets").extractOpt[Int].getOrElse(32))
+      val rec = CdcPipeline.applyBatch(table, df, epoch = table.committedEpoch + 1)
+      rec.rowsApplied
+    case other => throw new IllegalArgumentException(s"unknown writer '$other'")
+  }
+
+  // ---- lifecycle (reference job state machine + hooks) ---------------------
+
+  /** Reference: core/.../dataxservice/face/domain/enums/State.java (the
+    * subset meaningful for a Spark batch job) + HookInvoker post-job SPI
+    * (core/.../container/util/HookInvoker.java). */
+  sealed trait State
+  case object Submitting extends State
+  case object Running extends State
+  case object Succeeded extends State
+  case object Failed extends State
+
+  final case class Report(states: Seq[State], rowsRead: Long, rowsWritten: Long,
+      rowsDirty: Long, elapsedMs: Long, error: Option[String])
+
+  /**
+   * Run a job spec end-to-end: read -> dirty gate (requiredColumns +
+   * errorLimit) -> transformer chain -> channel repartition -> write, with
+   * the reference's state transitions and post-job hooks.
+   */
+  def run(spark: SparkSession, json: String,
+      hooks: Seq[Report => Unit] = Nil): Report = {
+    val t0 = System.nanoTime()
+    val states = scala.collection.mutable.ArrayBuffer[State](Submitting)
+    def finish(r: Report): Report = { hooks.foreach(_(r)); r }
+    try {
+      val spec = parse(json)
+      states += Running
+      val channels = spec.settings.speed.channel.getOrElse(1)
+      val raw = read(spark, spec.content.reader, channels)
+      val rowsRead = raw.count()
+      // dirty gate: requiredColumns null checks, reference errorLimit
+      val required = (spec.content.reader.parameter \ "requiredColumns") match {
+        case JArray(cs) => cs.map(_.extract[String])
+        case _ => Nil
+      }
+      val (clean, dirty) =
+        if (required.isEmpty) (raw, 0L)
+        else {
+          val split = Dirty.split(raw, required.map(c =>
+            Dirty.Rule(s"${c}_null", col(c).isNotNull)))
+          val stats = split.stats().enforce(spec.settings.errorLimit)
+          (split.clean, stats.dirty)
+        }
+      val transformed = DataXTransforms.applyChain(clean,
+        spec.content.transformers.map(toTransformAny(clean, _)))
+      val sized = if (channels > 1) transformed.repartition(channels) else transformed
+      val written = write(sized, spec.content.writer)
+      states += Succeeded
+      finish(Report(states.toSeq, rowsRead, written, dirty,
+        (System.nanoTime() - t0) / 1000000L, None))
+    } catch {
+      case e: Throwable =>
+        states += Failed
+        finish(Report(states.toSeq, -1, -1, -1,
+          (System.nanoTime() - t0) / 1000000L, Some(e.getMessage)))
+    }
+  }
+}

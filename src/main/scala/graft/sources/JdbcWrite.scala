@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.util.LongAccumulator
+
+import java.sql.{Connection, PreparedStatement, SQLException}
+
+/**
+ * JDBC sink parity: writeMode templates, batched PreparedStatement writes
+ * with transaction-per-batch and row-by-row dirty replay on batch failure —
+ * the reference's CommonRdbmsWriter behavior (reference:
+ * plugin-rdbms-util/.../writer/CommonRdbmsWriter.java:262-398; writeMode
+ * template builder WriterUtil.java:111-168), rebuilt for `foreachPartition`.
+ *
+ * Scale shape: one connection + one prepared statement per Spark partition,
+ * `batchSize` rows per executeBatch (the reference defaults 2048) — on a
+ * 1000-executor cluster, write parallelism = partition count, which the
+ * caller sizes with `repartition(n)` against the DB's connection budget
+ * (the reference's channel count, JobContainer.java:416-486).
+ */
+object JdbcWrite {
+
+  sealed trait WriteMode
+  /** Plain INSERT — duplicate keys error (and replay to dirty). */
+  case object Insert extends WriteMode
+  /** MySQL REPLACE INTO — delete-then-insert upsert. */
+  case object Replace extends WriteMode
+  /** MySQL INSERT ... ON DUPLICATE KEY UPDATE — in-place upsert. This is the
+    * reference's `update` mode; on the lakehouse side its semantics are the
+    * snapshot table's MERGE (graft.table.SnapTable). */
+  case object Update extends WriteMode
+
+  def parseMode(s: String): WriteMode = s.toLowerCase match {
+    case "insert" => Insert
+    case "replace" => Replace
+    case "update" => Update
+    case other => throw new IllegalArgumentException(s"writeMode '$other'")
+  }
+
+  /** Render the write template for a mode (MySQL dialect, as the reference's
+    * mysql writer; `?` placeholders in column order). */
+  def template(mode: WriteMode, table: String, cols: Seq[String]): String = {
+    require(cols.nonEmpty, "no columns")
+    val colList = cols.mkString(", ")
+    val qs = cols.map(_ => "?").mkString(", ")
+    mode match {
+      case Insert => s"INSERT INTO $table ($colList) VALUES ($qs)"
+      case Replace => s"REPLACE INTO $table ($colList) VALUES ($qs)"
+      case Update =>
+        val updates = cols.map(c => s"$c = VALUES($c)").mkString(", ")
+        s"INSERT INTO $table ($colList) VALUES ($qs) ON DUPLICATE KEY UPDATE $updates"
+    }
+  }
+
+  /** Result of one partition's write. */
+  final case class PartitionResult(written: Long, dirty: Long)
+
+  /**
+   * Write one partition's rows: buffer to `batchSize`, executeBatch inside a
+   * transaction; if the batch fails, roll back and replay row-by-row,
+   * routing the failing rows to `onDirty` (the reference's dirty-record
+   * replay, CommonRdbmsWriter.java:344-398).
+   */
+  def writePartition(conn: Connection, sql: String, rows: Iterator[Row],
+      batchSize: Int = 2048, onDirty: (Row, SQLException) => Unit = (_, _) => ())
+      : PartitionResult = {
+    val priorAutoCommit = conn.getAutoCommit
+    conn.setAutoCommit(false)
+    val st = conn.prepareStatement(sql)
+    var written = 0L
+    var dirty = 0L
+    val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+
+    def bind(r: Row): Unit = {
+      var i = 0
+      while (i < r.length) {
+        if (r.isNullAt(i)) st.setObject(i + 1, null) else st.setObject(i + 1, r.get(i))
+        i += 1
+      }
+    }
+
+    def flush(): Unit = {
+      if (buf.isEmpty) return
+      try {
+        buf.foreach { r => bind(r); st.addBatch() }
+        st.executeBatch()
+        conn.commit()
+        written += buf.size
+      } catch {
+        case _: SQLException =>
+          conn.rollback()
+          st.clearBatch()
+          // row-by-row replay: good rows commit, offenders go to dirty
+          buf.foreach { r =>
+            try {
+              bind(r); st.executeUpdate(); conn.commit(); written += 1
+            } catch {
+              case e: SQLException =>
+                conn.rollback(); dirty += 1; onDirty(r, e)
+            }
+          }
+      }
+      buf.clear()
+    }
+
+    try {
+      rows.foreach { r =>
+        buf += r
+        if (buf.size >= batchSize) flush()
+      }
+      flush()
+    } finally {
+      st.close()
+      conn.setAutoCommit(priorAutoCommit) // leave the connection clean
+    }
+    PartitionResult(written, dirty)
+  }
+
+  /**
+   * Distributed write: `foreachPartition` opening one connection per
+   * partition via `connect`. Returns (written, dirty) totals via
+   * accumulators. `connect` must be serializable-safe (a function creating
+   * the connection ON THE EXECUTOR — driver connections never serialize).
+   */
+  def write(df: DataFrame, connect: () => Connection, mode: WriteMode, table: String,
+      batchSize: Int = 2048): (Long, Long) = {
+    val cols = df.columns.toSeq
+    val sql = template(mode, table, cols)
+    val sc = df.sparkSession.sparkContext
+    val writtenAcc: LongAccumulator = sc.longAccumulator("jdbc_written")
+    val dirtyAcc: LongAccumulator = sc.longAccumulator("jdbc_dirty")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connect()
+        try {
+          val res = writePartition(conn, sql, rows, batchSize)
+          writtenAcc.add(res.written)
+          dirtyAcc.add(res.dirty)
+        } finally conn.close()
+      }
+    }
+    (writtenAcc.value, dirtyAcc.value)
+  }
+}

@@ -52,15 +52,11 @@ object TypedFileSource {
       case other => throw new IllegalArgumentException(s"column type '$other'")
     }
 
-  /** Read CSV file(s) and project through the column specs. */
-  def readCsv(spark: SparkSession, paths: Seq[String], columns: Seq[ColumnSpec],
-      cfg: CsvConfig = CsvConfig()): DataFrame = {
-    val raw = spark.read
-      .option("sep", cfg.fieldDelimiter)
-      .option("encoding", cfg.encoding)
-      .option("header", cfg.skipHeader.toString)
-      .option("inferSchema", "false")
-      .csv(paths: _*)
+  /** Typed `column`-list projection over an already-loaded frame (shared by
+    * the CSV and ORC paths — the reference routes both through the same
+    * ColumnEntry projection, DFSUtil.java:292-364 for ORC). */
+  private def project(raw: DataFrame, columns: Seq[ColumnSpec],
+      nullFormat: Option[String]): DataFrame = {
     val srcCols = raw.columns
     val projected = columns.zipWithIndex.map { case (spec, i) =>
       val base: Column = (spec.index, spec.value) match {
@@ -72,13 +68,35 @@ object TypedFileSource {
         case _ => throw new IllegalArgumentException(
           s"column $i needs either index or value")
       }
-      val nulled = cfg.nullFormat match {
+      val nulled = nullFormat match {
         case Some(nf) => when(base === nf, lit(null).cast("string")).otherwise(base)
         case None => base
       }
       castTo(nulled, spec.`type`, spec.format).as(spec.name.getOrElse(s"col$i"))
     }
     raw.select(projected: _*)
+  }
+
+  /** Read CSV file(s) and project through the column specs. */
+  def readCsv(spark: SparkSession, paths: Seq[String], columns: Seq[ColumnSpec],
+      cfg: CsvConfig = CsvConfig()): DataFrame = {
+    val raw = spark.read
+      .option("sep", cfg.fieldDelimiter)
+      .option("encoding", cfg.encoding)
+      .option("header", cfg.skipHeader.toString)
+      .option("inferSchema", "false")
+      .csv(paths: _*)
+    project(raw, columns, cfg.nullFormat)
+  }
+
+  /** Read ORC file(s) through the same typed projection (reference:
+    * hdfsreader/.../DFSUtil.java:292-364 — ORC rows routed through the
+    * identical ColumnEntry list as text). An empty column list reads the
+    * file's own schema unchanged. */
+  def readOrc(spark: SparkSession, paths: Seq[String],
+      columns: Seq[ColumnSpec] = Nil): DataFrame = {
+    val raw = spark.read.orc(paths: _*)
+    if (columns.isEmpty) raw else project(raw, columns, None)
   }
 }
 
@@ -120,5 +138,20 @@ object TypedFileSink {
       .option("nullValue", cfg.nullFormat)
       .mode(mode)
     cfg.compression.fold(w)(c => w.option("compression", c)).csv(path)
+  }
+
+  /** ORC sink with the same writeMode trio (reference: hdfswriter ORC write
+    * via OrcSerde, HdfsHelper.java:362-478; staging+rename commit is Spark's
+    * FileOutputCommitter). Values keep their types — ORC is self-describing,
+    * so no text stringification. */
+  def writeOrc(df: DataFrame, path: String, cfg: WriteConfig = WriteConfig()): Unit = {
+    val mode = cfg.writeMode match {
+      case "append" => "append"
+      case "nonConflict" => "errorifexists"
+      case "truncate" => "overwrite"
+      case other => throw new IllegalArgumentException(s"writeMode '$other'")
+    }
+    val w = df.write.mode(mode)
+    cfg.compression.fold(w)(c => w.option("compression", c)).orc(path)
   }
 }

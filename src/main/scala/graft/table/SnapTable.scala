@@ -164,6 +164,34 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     readAligned(spark, snap, snap.files, snap.schema).filter(col("op") =!= "D").drop("op")
   }
 
+  /**
+   * Multi-version read: every retained (key, lsn) state across ALL snapshot
+   * versions — the per-key change history at per-epoch-winner granularity,
+   * with `first_version` = the table version where that state first became
+   * visible. The reference's CDC reader has the same dual output: single-
+   * version latest-state vs cell-level multi-version history (reference:
+   * otsstreamreader/.../core/MultiVerModeRecordSender.java vs
+   * SingleVerAndUpOnlyModeRecordSender.java).
+   *
+   * Cost is O(versions x files) — an audit/replay path, not the serving
+   * path; production bounds it by expiring old snapshots.
+   */
+  def readVersionHistory(spark: SparkSession): DataFrame = {
+    val vs = history.filter(_ > 0)
+    require(vs.nonEmpty, "table has no committed data versions")
+    val all = vs.map { v =>
+      val snap = snapshot(v)
+      readAligned(spark, snap, snap.files, snap.schema).withColumn("__v", lit(v))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val dataCols = all.columns.filterNot(_ == "__v").toSeq
+    // rows for one (key, lsn) are identical across versions (data files are
+    // immutable); keep the newest-schema copy + the first version seen
+    all.groupBy((Schemas.keyCols :+ "lsn").map(col): _*)
+      .agg(min(col("__v")).as("first_version"),
+        max_by(struct(dataCols.map(col): _*), col("__v")).as("w"))
+      .select(col("first_version") +: dataCols.map(n => col(s"w.$n").as(n)): _*)
+  }
+
   def committedEpoch: Long = if (currentVersion == 0) -1L else snapshot().lastEpoch
 
   // ---- MERGE --------------------------------------------------------------

@@ -192,6 +192,27 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(tableState(t) == oracleState(collectEvents()))
   }
 
+  test("multi-version read reconstructs a key's full change history across epochs") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 4)
+    def ev(ts: Long, lsn: Long, op: String, text: String) =
+      ChangeEvent("c1", 1, "user", text, null, new java.sql.Timestamp(ts * 1000), lsn, op)
+    CdcPipeline.applyBatch(t, Seq(ev(100, 1, "I", "v1"),
+      ChangeEvent("c2", 9, "user", "other", null,
+        new java.sql.Timestamp(100000), 2, "I")).toDF(), 0)
+    CdcPipeline.applyBatch(t, Seq(ev(200, 3, "U", "v2")).toDF(), 1)
+    CdcPipeline.applyBatch(t, Seq(ev(300, 4, "D", "v2")).toDF(), 2)
+    CdcPipeline.applyBatch(t, Seq(ev(400, 5, "I", "v3")).toDF(), 3)
+    // latest-state (single-version) read: only the re-insert survives
+    assert(tableState(t).filter(_._1 == "c1") == Seq(("c1", 1, "v3")))
+    // multi-version read: every retained state with the version it appeared in
+    val hist = t.readVersionHistory(spark)
+      .filter(col("conv_id") === "c1")
+      .select("first_version", "lsn", "op", "text")
+      .as[(Long, Long, String, String)].collect().sortBy(_._2).toSeq
+    assert(hist == Seq((1L, 1L, "I", "v1"), (2L, 3L, "U", "v2"),
+      (3L, 4L, "D", "v2"), (4L, 5L, "I", "v3")))
+  }
+
   test("dirty gate quarantines and enforces limits") {
     val good = Seq(ChangeEvent("c1", 1, "user", "x", null,
       new java.sql.Timestamp(1000), 1, "I"))

@@ -1,0 +1,149 @@
+package graft
+
+import graft.cdc.DirtyLimitExceeded
+import graft.job.Job
+import graft.table.SnapTable
+
+/**
+ * Job-JSON entry-point conformance: the reference's shipped smoke-job shape
+ * (streamreader -> streamwriter, core/src/main/job/job.json), a CSV ->
+ * transformer-chain -> CSV job, and a changelog -> snapshot-table MERGE job,
+ * all through `Job.run` with state transitions and hooks.
+ */
+class JobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shipped smoke-job shape: streamreader -> streamwriter") {
+    // Mirrors core/src/main/job/job.json: const columns, sliceRecordCount,
+    // speed + errorLimit settings.
+    val json =
+      """{"job": {
+        |  "setting": {
+        |    "speed": {"byte": 10485760, "channel": 2},
+        |    "errorLimit": {"record": 0, "percentage": 0.02}},
+        |  "content": [{
+        |    "reader": {"name": "streamreader", "parameter": {
+        |      "column": [
+        |        {"value": "DataX", "type": "string"},
+        |        {"value": 19890604, "type": "long"},
+        |        {"value": "1989-06-04 00:00:00", "type": "date"},
+        |        {"value": true, "type": "bool"},
+        |        {"value": "test", "type": "bytes"}],
+        |      "sliceRecordCount": 1000}},
+        |    "writer": {"name": "streamwriter", "parameter": {"print": false}}}]}}
+        |""".stripMargin
+    var hookCalls = 0
+    val report = Job.run(spark, json, hooks = Seq(_ => hookCalls += 1))
+    assert(report.states == Seq(Job.Submitting, Job.Running, Job.Succeeded))
+    assert(report.rowsRead == 2000) // sliceRecordCount x 2 channels
+    assert(report.rowsWritten == 2000)
+    assert(report.error.isEmpty)
+    assert(hookCalls == 1)
+  }
+
+  test("csv -> dx transformer chain -> csv job") {
+    val in = tmpDir("jobin")
+    val out = s"${tmpDir("jobout")}/result"
+    Seq(("click", "useraaaa", 120), ("view", "userbbbb", 80), ("click", "usercccc", 45))
+      .toDF("t", "u", "v").coalesce(1)
+      .write.mode("overwrite").option("sep", ",").csv(s"$in/data")
+    val json =
+      s"""{"job": {
+         |  "setting": {"errorLimit": {"record": 0}},
+         |  "content": [{
+         |    "reader": {"name": "txtfilereader", "parameter": {
+         |      "path": "$in/data",
+         |      "requiredColumns": ["event_type"],
+         |      "column": [
+         |        {"index": 0, "type": "string", "name": "event_type"},
+         |        {"index": 1, "type": "string", "name": "user"},
+         |        {"index": 2, "type": "long", "name": "value"}]}},
+         |    "transformer": [
+         |      {"name": "dx_filter", "parameter": {"columnName": "event_type",
+         |        "paras": ["like", "view"]}},
+         |      {"name": "dx_substr", "parameter": {"columnName": "user",
+         |        "paras": ["0", "6"]}}],
+         |    "writer": {"name": "txtfilewriter", "parameter": {
+         |      "path": "$out", "writeMode": "truncate"}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    assert(report.rowsRead == 3)
+    assert(report.rowsWritten == 2) // 'view' row dropped by dx_filter
+    val back = spark.read.csv(out).as[(String, String, String)].collect().toSet
+    assert(back == Set(("click", "useraa", "120"), ("click", "usercc", "45")))
+  }
+
+  test("changelog -> snaptable MERGE job (upsert writer)") {
+    import graft.gen.{ChangeStreamGen, GenConfig}
+    val log = tmpDir("joblog")
+    val table = s"${tmpDir("jobtable")}/t"
+    val cfg = GenConfig(numEvents = 5000, numConvs = 100, chunks = 3)
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val json =
+      s"""{"job": {
+         |  "setting": {"errorLimit": {"percentage": 0.02}},
+         |  "content": [{
+         |    "reader": {"name": "changelogreader", "parameter": {"path": "$log"}},
+         |    "writer": {"name": "snaptablewriter", "parameter": {
+         |      "path": "$table", "buckets": 8}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    assert(report.states.last == Job.Succeeded)
+    val t = SnapTable.load(spark, table)
+    val expected = graft.oracle.OracleReducer.reduce(
+      ChangeStreamGen.events(spark, cfg).drop("pos")
+        .as[graft.model.ChangeEvent].collect().toSeq)
+    val got = t.read(spark).select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expected.map(e => (e.conv_id, e.turn_idx, e.text)))
+  }
+
+  test("dx_script: user Scala snippet compiled at runtime (dx_groovy parity)") {
+    val json =
+      """{"job": {"content": [{
+        |  "reader": {"name": "streamreader", "parameter": {
+        |    "column": [{"random": "1,100", "type": "long", "name": "v"}],
+        |    "sliceRecordCount": 500}},
+        |  "transformer": [{"name": "dx_script", "parameter": {"paras": [
+        |    "df.withColumn(\"v2\", col(\"v\") * 2).filter(col(\"v\") <= 50)"]}}],
+        |  "writer": {"name": "streamwriter", "parameter": {}}}]}}""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    assert(report.rowsRead == 500)
+    assert(report.rowsWritten > 0 && report.rowsWritten < 500,
+      s"script filter must drop some rows, wrote ${report.rowsWritten}")
+  }
+
+  test("failed job reports Failed state and the error through hooks") {
+    val json = """{"job": {"content": [{
+      |"reader": {"name": "nosuchreader", "parameter": {}},
+      |"writer": {"name": "streamwriter", "parameter": {}}}]}}""".stripMargin
+    var reported: Option[Job.Report] = None
+    val report = Job.run(spark, json, hooks = Seq(r => reported = Some(r)))
+    assert(report.states.last == Job.Failed)
+    assert(report.error.exists(_.contains("nosuchreader")))
+    assert(reported.contains(report))
+  }
+
+  test("errorLimit gate fails the job on dirty overflow") {
+    val in = tmpDir("dirtyin")
+    Seq(("a", "1"), (null: String, "2"), (null: String, "3"))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").csv(s"$in/data")
+    val json =
+      s"""{"job": {
+         |  "setting": {"errorLimit": {"record": 0}},
+         |  "content": [{
+         |    "reader": {"name": "txtfilereader", "parameter": {
+         |      "path": "$in/data", "requiredColumns": ["k"],
+         |      "column": [
+         |        {"index": 0, "type": "string", "name": "k"},
+         |        {"index": 1, "type": "long", "name": "v"}]}},
+         |    "writer": {"name": "streamwriter", "parameter": {}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.states.last == Job.Failed)
+    assert(report.error.exists(_.contains("errorLimit")))
+  }
+}

@@ -34,6 +34,32 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("orc round-trip with typed projection (DFSUtil ORC parity)") {
+    val out = tmpDir("orc") + "/t"
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TypedFileSink.writeOrc(src, out, WriteConfig(writeMode = "truncate"))
+    // full-schema read (no projection list)
+    val full = TypedFileSource.readOrc(spark, Seq(out))
+    assert(full.count() == src.count())
+    // typed projection: reorder + const column, like the reference's
+    // ColumnEntry list over ORC rows
+    val back = TypedFileSource.readOrc(spark, Seq(out), Seq(
+      ColumnSpec(index = Some(2), `type` = "double", name = Some("price")),
+      ColumnSpec(index = Some(0), `type` = "long", name = Some("key")),
+      ColumnSpec(value = Some("orcjob"), `type` = "string", name = Some("tag"))))
+    assert(back.columns.toSeq == Seq("price", "key", "tag"))
+    val a = src.select("o_totalprice", "o_orderkey").as[(Double, Long)]
+      .collect().toSeq.sortBy(_._2)
+    val b = back.select("price", "key").as[(Double, Long)].collect().toSeq.sortBy(_._2)
+    assert(a == b)
+    assert(back.select("tag").distinct().as[String].collect().toSeq == Seq("orcjob"))
+    // writeMode nonConflict applies to ORC too
+    intercept[Exception] {
+      TypedFileSink.writeOrc(src, out, WriteConfig(writeMode = "nonConflict"))
+    }
+  }
+
   test("writeMode nonConflict fails on existing dir; truncate overwrites") {
     val out = tmpDir("csv2") + "/t"
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
