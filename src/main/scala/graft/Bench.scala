@@ -33,11 +33,20 @@ object Bench {
   }
 
   /** One full CDC replay in THIS JVM (after a warmup pass over the first
-    * chunk); prints `CDCRESULT <events> <sec>`. Child-process entry. */
+    * chunk); prints `CDCRESULT <events> <sec>`. Child-process entry.
+    * Modes: enriched / raw = whole-log single-epoch replay (CoW);
+    * cow-epochs / mor-epochs = chunk-per-epoch steady-state replay, the
+    * merge-mode comparison (CoW rewrites touched buckets every epoch; MoR
+    * appends O(batch) deltas and compacts by policy). */
   private def cdcRunInProcess(cores: Int, logDir: String, mode: String): Unit = {
     val spark = newSession(cores)
     val work = java.nio.file.Files.createTempDirectory(s"bench-cdc-$cores").toString
-    val opts = PipelineOptions(enrich = mode == "enriched")
+    val opts = mode match {
+      case "enriched" => PipelineOptions(enrich = true)
+      case "raw" => PipelineOptions()
+      case "cow-epochs" => PipelineOptions(enrich = true, mergeMode = "cow")
+      case "mor-epochs" => PipelineOptions(enrich = true, mergeMode = "mor")
+    }
     if (!sys.env.contains("GRAFT_BENCH_NO_WARMUP")) {
       // warmup: JIT + codegen over one chunk, separate table
       val tw = System.nanoTime()
@@ -47,9 +56,19 @@ object Bench {
     }
     val table = SnapTable.create(spark, s"$work/table", Schemas.payloadV2, numBuckets = 32)
     val t0 = System.nanoTime()
-    val rec = CdcPipeline.replayBatch(spark, logDir, table, opts)
+    val events =
+      if (mode.endsWith("-epochs")) {
+        // steady-state: one epoch per chunk dir, sequential commits
+        val fs = new org.apache.hadoop.fs.Path(logDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val chunks = fs.listStatus(new org.apache.hadoop.fs.Path(logDir))
+          .filter(_.isDirectory).map(_.getPath.toString).sorted
+        chunks.zipWithIndex.map { case (dir, i) =>
+          CdcPipeline.replayBatch(spark, dir, table, opts, epoch = i.toLong).rowsIn
+        }.sum
+      } else CdcPipeline.replayBatch(spark, logDir, table, opts).rowsIn
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"CDCRESULT ${rec.rowsIn} $sec")
+    println(s"CDCRESULT $events $sec")
     spark.stop()
   }
 
@@ -165,6 +184,11 @@ object Bench {
     val enriched = coresList.map(c => c -> measure(c, "enriched", repsPerLevel)).toMap
     val raw = Seq(8).filter(coresList.contains)
       .map(c => c -> measure(c, "raw", 1)).toMap
+    // steady-state merge-mode comparison at one level: CoW (rewrite touched
+    // buckets per epoch) vs MoR (O(batch) delta commits + policy compaction)
+    val epochLevels = Seq(8).filter(coresList.contains)
+    val cowEpochs = epochLevels.map(c => c -> measure(c, "cow-epochs", 1)).toMap
+    val morEpochs = epochLevels.map(c => c -> measure(c, "mor-epochs", 1)).toMap
 
     def thr(l: Level): Double = l.events / l.bestSec
     def eff(a: Int, b: Int): Double =
@@ -187,6 +211,7 @@ object Bench {
     def effStr(x: Double): String = if (x.isNaN) "null" else f"$x%.3f"
     val cdc = f"""{"events":$events,"gen_sec":$genSec%.2f,""" +
       s""""enriched":${runsJson(enriched)},"raw":${runsJson(raw)},""" +
+      s""""cow_epochs":${runsJson(cowEpochs)},"mor_epochs":${runsJson(morEpochs)},""" +
       s""""scaling_efficiency_N_to_4N_(1_to_4)":${effStr(eff1to4)},""" +
       s""""scaling_efficiency_8_to_32":${effStr(eff8to32)}}"""
     println(f"""{"metric":"cdc_enriched_events_per_sec_peak","value":$headlineThr%.0f,""" +

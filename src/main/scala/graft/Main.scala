@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
  * Subcommands:
  *   gen    --out DIR [--events N] [--convs N] [--chunks N] [--seed N]
  *   ingest --changelog DIR --table DIR [--checkpoint DIR] [--mode stream|batch]
- *          [--buckets N] [--max-files-per-trigger N]
+ *          [--buckets N] [--max-files-per-trigger N] [--max-bytes-per-trigger B]
+ *          [--merge-mode cow|mor]   # mor = O(batch) delta commits + compaction
+ *   compact --table DIR             # fold merge-on-read deltas into base files
  *   show   --table DIR [--limit N]
  *   lineage --table DIR
  *   job    --job FILE.json        # DataX-shaped job config (reader ->
@@ -50,7 +52,9 @@ object Main {
           else SnapTable.create(spark, tableDir, Schemas.payloadV1,
             numBuckets = opts.getOrElse("buckets", "32").toInt)
         val pOpts = PipelineOptions(
-          maxFilesPerTrigger = opts.getOrElse("max-files-per-trigger", "8").toInt)
+          maxFilesPerTrigger = opts.getOrElse("max-files-per-trigger", "8").toInt,
+          maxBytesPerTrigger = opts.get("max-bytes-per-trigger").map(_.toLong),
+          mergeMode = opts.getOrElse("merge-mode", "cow"))
         opts.getOrElse("mode", "stream") match {
           case "batch" =>
             val rec = CdcPipeline.replayBatch(spark, opts("changelog"), table, pOpts)
@@ -68,6 +72,12 @@ object Main {
         println(s"version=${table.currentVersion} liveRows=${df.count()}")
         df.show(opts.getOrElse("limit", "10").toInt, truncate = 60)
 
+      case "compact" =>
+        val table = SnapTable.load(spark, opts("table"))
+        val rewritten = table.compact(spark)
+        println(s"compacted: filesRewritten=$rewritten version=${table.currentVersion} " +
+          s"deltasRemaining=${table.deltaFileCount}")
+
       case "lineage" =>
         val table = SnapTable.load(spark, opts("table"))
         CdcPipeline.readLineage(spark, table).foreach { l =>
@@ -80,11 +90,18 @@ object Main {
       case "job" =>
         val json = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(opts("job"))), java.nio.charset.StandardCharsets.UTF_8)
-        val report = graft.job.Job.run(spark, json)
-        println(s"job ${report.states.mkString("->")} read=${report.rowsRead} " +
-          s"written=${report.rowsWritten} dirty=${report.rowsDirty} " +
-          s"elapsedMs=${report.elapsedMs}${report.error.map(e => s" error=$e").getOrElse("")}")
-        if (report.error.nonEmpty) sys.exit(1)
+        if (opts.get("dry-run").contains("true")) {
+          // the reference's job.setting.dryRun preCheck path
+          val problems = graft.job.Job.preCheck(spark, json)
+          if (problems.isEmpty) println("preCheck OK")
+          else { problems.foreach(p => println(s"preCheck FAIL: $p")); sys.exit(1) }
+        } else {
+          val report = graft.job.Job.run(spark, json)
+          println(s"job ${report.states.mkString("->")} read=${report.rowsRead} " +
+            s"written=${report.rowsWritten} dirty=${report.rowsDirty} " +
+            s"elapsedMs=${report.elapsedMs}${report.error.map(e => s" error=$e").getOrElse("")}")
+          if (report.error.nonEmpty) sys.exit(1)
+        }
 
       case other =>
         System.err.println(s"unknown subcommand '$other'"); sys.exit(2)

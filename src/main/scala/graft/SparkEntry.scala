@@ -246,6 +246,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q_dx_script" -> ((s, dir) => {
+      // dx_groovy parity: USER CODE arrives as text and is compiled at
+      // runtime (ToolBox, cached) — still a Catalyst plan, so pushdown and
+      // codegen apply as if it were compiled in
+      applyChain(t(s, dir, "events"), Seq(graft.functions.DataXTransforms.Script(
+        """df.filter(col("event_type") =!= "error")
+          |  .withColumn("value_q4", (col("value").cast("decimal(18,4)") * 10000).cast("long"))
+          |  .select(col("event_id"), col("event_type"), col("value_q4"))""".stripMargin)))
+        .orderBy("event_id")
+    }),
+
     "q_cast_ladder" -> ((s, dir) => {
       // ColumnCast multi-format parse ladder (reference ColumnCast.java:
       // 87-117): strings in three formats all parse back to the same date
@@ -366,20 +377,27 @@ object SparkEntry {
     //      Reference analogue: otsstreamreader/.../core/RecordProcessor.java:
     //      186-248 (change-stream tail -> state). -------------------------
 
-    "q_cdc_pipeline" -> ((s, dir) => {
-      val changelog = eventsAsChangelog(t(s, dir, "events"))
-      val work = java.nio.file.Files.createTempDirectory("graft-cdcq").toString
-      changelog.repartition(16).write.parquet(s"$work/log")
-      val table = SnapTable.create(s, s"$work/table", Schemas.payloadV2, numBuckets = 16)
-      val q = CdcPipeline.stream(s, s"$work/log", table, s"$work/ckpt",
-        graft.cdc.PipelineOptions(maxFilesPerTrigger = 4))
-      q.awaitTermination()
-      table.read(s)
-        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
-          unix_micros(col("ts")).as("ts_us"), col("lsn"))
-        .orderBy("conv_id", "turn_idx")
-    })
+    "q_cdc_pipeline" -> ((s, dir) => cdcPipelineReplay(s, dir, "cow")),
+
+    // merge-on-read variant: O(batch) delta commits, NO compaction before
+    // the read — the read-time LWW reduce must reproduce the same oracle
+    // state as the copy-on-write path
+    "q_cdc_pipeline_mor" -> ((s, dir) => cdcPipelineReplay(s, dir, "mor"))
   )
+
+  private def cdcPipelineReplay(s: SparkSession, dir: String, mode: String): DataFrame = {
+    val changelog = eventsAsChangelog(t(s, dir, "events"))
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcq").toString
+    changelog.repartition(16).write.parquet(s"$work/log")
+    val table = SnapTable.create(s, s"$work/table", Schemas.payloadV2, numBuckets = 16)
+    val q = CdcPipeline.stream(s, s"$work/log", table, s"$work/ckpt",
+      graft.cdc.PipelineOptions(maxFilesPerTrigger = 4, mergeMode = mode))
+    q.awaitTermination()
+    table.read(s)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        unix_micros(col("ts")).as("ts_us"), col("lsn"))
+      .orderBy("conv_id", "turn_idx")
+  }
 
   /** The driver's `events` table reinterpreted as a CDC changelog of the
     * transcript envelope: event_id is the LSN, (user_id, event_id % 50) the
@@ -541,6 +559,12 @@ object SparkEntry {
         |  AND (value IS NULL OR NOT (value > 300))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_dx_script" ->
+      """SELECT event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_q4
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+
     "q_cast_ladder" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
@@ -602,6 +626,19 @@ object SparkEntry {
         |GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q_cdc_pipeline" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_cdc_pipeline_mor" ->
       """WITH chg AS (
         |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
         |         CAST(event_id % 50 AS INT) AS turn_idx,

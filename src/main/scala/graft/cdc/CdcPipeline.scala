@@ -32,6 +32,14 @@ final case class PipelineOptions(
       * as alternative admission limits). */
     maxBytesPerTrigger: Option[Long] = None,
     saltedDedup: Boolean = false,
+    /** "cow" rewrites touched buckets per epoch (read-optimized); "mor"
+      * appends delta files per epoch with O(batch) commit IO and defers the
+      * cross-epoch reduce to read/compaction (write-optimized — the
+      * steady-state CDC mode when most epochs touch most buckets). */
+    mergeMode: String = "cow",
+    /** In "mor" mode, auto-compact when outstanding delta files exceed
+      * this many per bucket on average (bounds read amplification). */
+    morCompactDeltasPerBucket: Int = 8,
     /** Per-event text enrichment (quality score, language id, token count)
       * applied before the merge — the training-data-pipeline ingest shape.
       * The enrichment columns reach the table via schema evolution. */
@@ -111,7 +119,16 @@ object CdcPipeline {
       val toMerge =
         if (opts.saltedDedup) Dedup.lwwSalted(clean, Schemas.mergeKeys, Schemas.lwwOrder)
         else clean
-      val (applied, buckets, result) = table.merge(toMerge, epoch, Some(touched)) match {
+      val mergeResult = opts.mergeMode match {
+        case "cow" => table.merge(toMerge, epoch, Some(touched))
+        case "mor" =>
+          val r = table.mergeDelta(toMerge, epoch)
+          if (table.deltaFileCount > opts.morCompactDeltasPerBucket * table.numBuckets)
+            table.compact(batch.sparkSession)
+          r
+        case other => throw new IllegalArgumentException(s"mergeMode '$other'")
+      }
+      val (applied, buckets, result) = mergeResult match {
         case MergeResult.Committed(_, rows, b, _) => (rows, b, "committed")
         case MergeResult.SkippedEpoch => (0L, 0, "skipped_epoch")
       }

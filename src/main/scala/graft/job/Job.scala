@@ -242,6 +242,65 @@ object Job {
     case other => throw new IllegalArgumentException(s"unknown writer '$other'")
   }
 
+  // ---- preCheck / secrets --------------------------------------------------
+
+  /** Keys whose values are masked before any config is logged or echoed
+    * (reference: core/.../util/SecretUtil.java:35-48 keeps passwords out of
+    * plaintext; the Spark rebuild masks rather than decrypts — no secret
+    * material belongs in job JSON in the first place). */
+  private val SecretKeys = Set("password", "accessKey", "accessId", "secret", "token")
+
+  /** Recursively mask secret-valued fields for display/logging. */
+  def maskSecrets(v: JValue): JValue = v match {
+    case JObject(fields) => JObject(fields.map {
+      case (k, _) if SecretKeys.exists(s => k.toLowerCase.contains(s.toLowerCase)) =>
+        (k, JString("******"))
+      case (k, child) => (k, maskSecrets(child))
+    })
+    case JArray(items) => JArray(items.map(maskSecrets))
+    case other => other
+  }
+
+  /**
+   * Dry-run preCheck (reference: `job.setting.dryRun` short-circuit,
+   * JobContainer.java:103-106, 184-213, and PreCheckTask connectivity /
+   * splitPk validation): validate the job WITHOUT moving data — config
+   * parses, reader source exists and is readable (schema resolves), column
+   * indexes are in range, transformer chain binds, writer target is legal
+   * for its writeMode. Returns the list of failures (empty = job would
+   * start).
+   */
+  def preCheck(spark: SparkSession, json: String): Seq[String] = {
+    val problems = scala.collection.mutable.ArrayBuffer[String]()
+    val spec = try parse(json) catch {
+      case e: Throwable => return Seq(s"config: ${e.getMessage}")
+    }
+    val frame: Option[DataFrame] =
+      try Some(read(spark, spec.content.reader, spec.settings.speed.channel.getOrElse(1)))
+      catch { case e: Throwable => problems += s"reader: ${e.getMessage}"; None }
+    frame.foreach { df =>
+      try df.schema catch { case e: Throwable => problems += s"reader schema: ${e.getMessage}" }
+      spec.content.transformers.foreach { t =>
+        try toTransformAny(df, t)
+        catch { case e: Throwable => problems += s"transformer ${t.name}: ${e.getMessage}" }
+      }
+    }
+    val wp = spec.content.writer.parameter
+    spec.content.writer.name.toLowerCase match {
+      case "txtfilewriter" | "csvwriter" | "parquetwriter" | "orcwriter" =>
+        val path = (wp \ "path").extractOpt[String]
+        if (path.isEmpty) problems += "writer: missing path"
+        else if ((wp \ "writeMode").extractOpt[String].contains("nonConflict")
+          && new java.io.File(path.get).exists)
+          problems += s"writer: nonConflict target ${path.get} already exists"
+      case "snaptablewriter" =>
+        if ((wp \ "path").extractOpt[String].isEmpty) problems += "writer: missing path"
+      case "streamwriter" => ()
+      case other => problems += s"writer: unknown plugin '$other'"
+    }
+    problems.toSeq
+  }
+
   // ---- lifecycle (reference job state machine + hooks) ---------------------
 
   /** Reference: core/.../dataxservice/face/domain/enums/State.java (the

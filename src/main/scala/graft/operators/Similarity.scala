@@ -131,38 +131,52 @@ object Similarity {
 
   /**
    * All pairs (a < b) with cosine >= threshold — embedding near-dup
-   * detection, LSH-prefiltered: candidates are generated by a hyperplane
-   * bucket equi-join (never an n^2 cross product) and verified with the
-   * native cosine expression. The table count is auto-sized so a pair AT the
-   * threshold is missed with probability <= `targetMiss` (pairs above the
-   * threshold collide more often): p_bit = 1 - acos(t)/pi,
-   * tables = ln(targetMiss) / ln(1 - p_bit^nbits). At threshold 0.4 /
-   * nbits 4 that is 107 tables — recall verified exhaustive on the test
-   * fixtures (59/59 and 66/66 pairs) and oracle-gated in CORRECTNESS.
+   * detection with COST-BASED strategy selection (the broadcast-vs-shuffle
+   * decision of pair generation):
    *
-   * Scale shape: shuffle cost is O(n * tables) bucket rows plus the
-   * candidate verify join — proportional to true collision mass, not n^2.
-   * Tighter thresholds need exponentially fewer tables (0.9 -> 24).
+   *  - `"exact"`: the O(n^2) codegen'd pair join — optimal below ~10^4..10^5
+   *    vectors where n^2 cheap cosines beat any candidate machinery;
+   *  - `"lsh"`: hyperplane bucket equi-join candidates + exact verify — the
+   *    only shape that survives 10^8+ vectors. Tables are auto-sized so a
+   *    pair AT the threshold is missed with probability <= `targetMiss`
+   *    (p_bit = 1 - acos(t)/pi; tables = ln(miss)/ln(1 - p_bit^nbits)):
+   *    107 tables at the pathological threshold 0.4, 24 at a realistic
+   *    near-dup threshold 0.9. Recall verified exhaustively on the fixtures
+   *    (59/59, 66/66) and oracle-gated in CORRECTNESS.
+   *  - `"auto"` (default): exact while n <= `exactCutoff`, LSH beyond —
+   *    measured crossover on this host is >> 10^4 for low thresholds
+   *    (at n=5000/t=0.4, exact 1.3s vs LSH 19s: near-threshold-0.4 pairs
+   *    collide in a constant fraction of buckets, so candidate mass ~ n^2
+   *    with a large constant; at t>=0.8 LSH wins earlier).
    */
   def nearDupPairs(df: DataFrame, threshold: Double, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nbits: Int = 4, seed: Long = 42L, targetMiss: Double = 1e-8): DataFrame = {
-    val pBit = 1.0 - math.acos(threshold) / math.Pi
-    val pBucket = math.pow(pBit, nbits)
-    val tables = math.min(256, math.max(1,
-      math.ceil(math.log(targetMiss) / math.log1p(-pBucket)).toInt))
-    val b = lshBuckets(df, tables, nbits, dim, seed, idCol, vecCol)
-    val l = b.select(col(idCol).as("a"), col("tbl"), col("bkt"))
-    val r = b.select(col(idCol).as("b"), col("tbl"), col("bkt"))
-    val cand = l.join(r, Seq("tbl", "bkt")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val vecs = df.select(col(idCol), col(vecCol))
-    cand
-      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
-      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
-      .withColumn("cos", cosim(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
-      .select("a", "b", "cos")
+      nbits: Int = 4, seed: Long = 42L, targetMiss: Double = 1e-8,
+      strategy: String = "auto", exactCutoff: Long = 100000L): DataFrame = {
+    strategy match {
+      case "exact" => nearDupPairsExact(df, threshold, dim, idCol, vecCol)
+      case "auto" =>
+        if (df.count() <= exactCutoff) nearDupPairsExact(df, threshold, dim, idCol, vecCol)
+        else nearDupPairs(df, threshold, dim, idCol, vecCol, nbits, seed, targetMiss, "lsh")
+      case "lsh" =>
+        val pBit = 1.0 - math.acos(threshold) / math.Pi
+        val pBucket = math.pow(pBit, nbits)
+        val tables = math.min(256, math.max(1,
+          math.ceil(math.log(targetMiss) / math.log1p(-pBucket)).toInt))
+        val b = lshBuckets(df, tables, nbits, dim, seed, idCol, vecCol)
+        val l = b.select(col(idCol).as("a"), col("tbl"), col("bkt"))
+        val r = b.select(col(idCol).as("b"), col("tbl"), col("bkt"))
+        val cand = l.join(r, Seq("tbl", "bkt")).filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val vecs = df.select(col(idCol), col(vecCol))
+        cand
+          .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+          .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
+          .withColumn("cos", cosim(col("va"), col("vb")))
+          .filter(col("cos") >= threshold)
+          .select("a", "b", "cos")
+      case other => throw new IllegalArgumentException(s"strategy '$other'")
+    }
   }
 
   /** Exhaustive all-pairs near-dup — O(n^2); the in-suite oracle for

@@ -24,7 +24,10 @@ final case class Snapshot(
   def lastEpoch: Long = props.get(SnapTable.PropLastEpoch).map(_.toLong).getOrElse(-1L)
 }
 
-final case class DataFileEntry(path: String, bucket: Int, schemaV: Int, rows: Long)
+/** `kind` = "base" (fully merged) or "delta" (merge-on-read overlay written
+  * without rewriting its bucket; reduced away at read/compaction). */
+final case class DataFileEntry(path: String, bucket: Int, schemaV: Int, rows: Long,
+    kind: String = "base")
 
 sealed trait MergeResult
 object MergeResult {
@@ -149,10 +152,23 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     }.reduce(_ unionByName _)
   }
 
-  /** Current live rows (tombstones filtered, envelope retained for lineage). */
+  /** Current winner rows (tombstones retained, envelope retained). For a
+    * pure-base table this is a plain scan; when merge-on-read deltas exist,
+    * the per-key LWW reduce runs at read time (same `max_by (ts, lsn)` the
+    * CoW merge applies at write time, so both modes expose identical
+    * state). */
   def readRaw(spark: SparkSession): DataFrame = {
     val snap = snapshot()
-    readAligned(spark, snap, snap.files, snap.schema)
+    val all = readAligned(spark, snap, snap.files, snap.schema)
+    if (!snap.files.exists(_.kind == "delta")) all else lwwReduce(all, snap.schema)
+  }
+
+  /** LWW winners of a raw (possibly multi-version) frame. */
+  private def lwwReduce(df: DataFrame, target: StructType): DataFrame = {
+    val dataCols = target.fields.map(_.name).toSeq
+    df.groupBy(Schemas.keyCols.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
+      .select(dataCols.map(n => col(s"w.$n").as(n)): _*)
   }
 
   /** User-facing state: tombstones dropped. */
@@ -161,7 +177,10 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   /** Time travel. */
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     val snap = snapshot(version)
-    readAligned(spark, snap, snap.files, snap.schema).filter(col("op") =!= "D").drop("op")
+    val all = readAligned(spark, snap, snap.files, snap.schema)
+    val reduced = if (!snap.files.exists(_.kind == "delta")) all
+      else lwwReduce(all, snap.schema)
+    reduced.filter(col("op") =!= "D").drop("op")
   }
 
   /**
@@ -275,7 +294,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   }
 
   private def listBucketFiles(spark: SparkSession, abs: String, rel: String,
-      schemaV: Int): Seq[DataFileEntry] = {
+      schemaV: Int, kind: String = "base"): Seq[DataFileEntry] = {
     val stats = Option(fs.globStatus(new Path(abs, s"$BucketCol=*/part-*")))
       .getOrElse(Array()).toSeq
     // footer reads are independent -> parallel on the driver
@@ -283,7 +302,8 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     stats.par.map { st =>
       val bucket = st.getPath.getParent.getName.stripPrefix(s"$BucketCol=").toInt
       val rows = parquetRowCount(st.getPath)
-      DataFileEntry(s"$rel/$BucketCol=$bucket/${st.getPath.getName}", bucket, schemaV, rows)
+      DataFileEntry(s"$rel/$BucketCol=$bucket/${st.getPath.getName}", bucket, schemaV, rows,
+        kind)
     }.seq
   }
 
@@ -294,9 +314,96 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     try r.getRecordCount finally r.close()
   }
 
+  /**
+   * Merge-on-read upsert: write the batch's own LWW winners as DELTA files
+   * (bucketed like the base layout) WITHOUT reading or rewriting any stored
+   * data — commit IO is O(batch), independent of table size or touched
+   * fraction. The per-key reduce against stored rows is deferred to read
+   * time ([[readRaw]]) and to [[compact]].
+   *
+   * This is the steady-state CDC answer to copy-on-write's degenerate case:
+   * when every epoch touches most buckets (uniform update traffic), CoW
+   * rewrites the whole table per epoch; MoR amortizes that into periodic
+   * compactions. Iceberg's MoR delete/overlay files are the same trade.
+   * Exactly-once and schema evolution behave identically to [[merge]] (the
+   * epoch rides the same atomic commit).
+   */
+  def mergeDelta(batch: DataFrame, epoch: Long): MergeResult = {
+    val snap = snapshot()
+    if (epoch <= snap.lastEpoch) return MergeResult.SkippedEpoch
+    val tableSchema = snap.schema
+    val target = SchemaEvolution.merge(tableSchema, batch.schema)
+    val evolved = target.toDDL != tableSchema.toDDL
+    val schemaVersions =
+      if (evolved) snap.schemaVersions + ((snap.currentSchemaV + 1).toString -> target.toDDL)
+      else snap.schemaVersions
+    val newSchemaV = if (evolved) snap.currentSchemaV + 1 else snap.currentSchemaV
+
+    val aligned = SchemaEvolution.align(batch, target)
+      .withColumn(BucketCol, bucketExpr(snap.numBuckets))
+    // batch-local LWW (dedupes duplicate delivery inside the epoch); stored
+    // rows are NOT read — cross-epoch reduce happens at read/compaction
+    val dataCols = target.fields.map(_.name)
+    val winners = aligned
+      .groupBy((Schemas.keyCols :+ BucketCol).map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
+      .select(col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n)): _*)
+
+    val newVersion = snap.version + 1
+    val commitRel = f"data/c$newVersion%08d"
+    winners
+      .repartition(math.max(1, snap.numBuckets / 4), col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    val written = listBucketFiles(spark = batch.sparkSession, s"$root/$commitRel",
+      commitRel, newSchemaV, kind = "delta")
+    commit(Snapshot(
+      version = newVersion,
+      parent = snap.version,
+      numBuckets = snap.numBuckets,
+      currentSchemaV = newSchemaV,
+      schemaVersions = schemaVersions,
+      files = snap.files ++ written,
+      props = snap.props + (PropLastEpoch -> epoch.toString),
+      rows = snap.rows + written.map(_.rows).sum))
+    MergeResult.Committed(newVersion, written.map(_.rows).sum,
+      written.map(_.bucket).distinct.size, evolved)
+  }
+
+  /** Number of delta files currently outstanding (compaction-policy input). */
+  def deltaFileCount: Int = snapshot().files.count(_.kind == "delta")
+
+  /**
+   * Fold all merge-on-read deltas into base files: LWW-reduce the buckets
+   * that have deltas and rewrite them as fresh base file groups (buckets
+   * with no deltas are untouched). Read cost returns to one scan; the
+   * operation is the CoW merge with an empty batch, scheduled by policy
+   * instead of per-epoch.
+   */
+  def compact(spark: SparkSession): Long = {
+    val snap = snapshot()
+    val dirty = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
+    if (dirty.isEmpty) return 0L
+    val (rewrite, keep) = snap.files.partition(f => dirty(f.bucket))
+    val target = snap.schema
+    val winners = lwwReduce(readAligned(spark, snap, rewrite, target), target)
+      .withColumn(BucketCol, bucketExpr(snap.numBuckets))
+    val newVersion = snap.version + 1
+    val commitRel = f"data/c$newVersion%08d"
+    winners
+      .repartition(math.max(1, dirty.size), col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
+    commit(snap.copy(version = newVersion, parent = snap.version,
+      files = keep ++ written, rows = keep.map(_.rows).sum + written.map(_.rows).sum))
+    rewrite.size.toLong
+  }
+
   /** Drop tombstones older than `lsnWatermark` by rewriting their buckets —
-    * the compaction that bounds tombstone retention. */
+    * the compaction that bounds tombstone retention. Outstanding
+    * merge-on-read deltas are compacted first so the rewrite sees (and
+    * keeps) only winner rows. */
   def expireTombstones(spark: SparkSession, lsnWatermark: Long): Long = {
+    compact(spark)
     val snap = snapshot()
     val target = snap.schema
     val all = readAligned(spark, snap, snap.files, target)

