@@ -293,18 +293,34 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     MergeResult.Committed(newVersion, written.map(_.rows).sum, touched.size, evolved)
   }
 
+  /** Above this many files per commit, footer row-counts are read on the
+    * EXECUTORS (one task per slice of the file list) instead of
+    * driver-threads — the manifest step stays O(files / cluster) at
+    * thousands-of-buckets scale instead of serializing on the driver. */
+  private val DriverManifestMax = 256
+
   private def listBucketFiles(spark: SparkSession, abs: String, rel: String,
       schemaV: Int, kind: String = "base"): Seq[DataFileEntry] = {
     val stats = Option(fs.globStatus(new Path(abs, s"$BucketCol=*/part-*")))
       .getOrElse(Array()).toSeq
-    // footer reads are independent -> parallel on the driver
-    import scala.collection.parallel.CollectionConverters._
-    stats.par.map { st =>
+    val named = stats.map { st =>
       val bucket = st.getPath.getParent.getName.stripPrefix(s"$BucketCol=").toInt
-      val rows = parquetRowCount(st.getPath)
-      DataFileEntry(s"$rel/$BucketCol=$bucket/${st.getPath.getName}", bucket, schemaV, rows,
-        kind)
-    }.seq
+      (st.getPath.toString, bucket, st.getPath.getName)
+    }
+    val counted: Seq[(String, Int, String, Long)] =
+      if (named.size <= DriverManifestMax || spark == null) {
+        // footer reads are independent -> parallel on the driver
+        import scala.collection.parallel.CollectionConverters._
+        named.par.map { case (p, b, n) => (p, b, n, parquetRowCount(new Path(p))) }.seq.toSeq
+      } else {
+        val slices = math.min(named.size, spark.sparkContext.defaultParallelism * 2)
+        spark.sparkContext.parallelize(named, slices).map { case (p, b, n) =>
+          (p, b, n, SnapTable.footerRowCount(p))
+        }.collect().toSeq
+      }
+    counted.map { case (_, bucket, name, rows) =>
+      DataFileEntry(s"$rel/$BucketCol=$bucket/$name", bucket, schemaV, rows, kind)
+    }
   }
 
   private def parquetRowCount(p: Path): Long = {
@@ -430,6 +446,16 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 object SnapTable {
   val BucketCol = "__bucket"
   val PropLastEpoch = "graft.lastEpoch"
+
+  /** Executor-side parquet footer row count (metadata-only read). */
+  private[table] def footerRowCount(path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val p = new Path(path)
+    val conf = new Configuration() // scheme resolved from the path URI
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try r.getRecordCount finally r.close()
+  }
 
   /** Key columns for merge/bucketing (fixed for the transcript table). */
   object Schemas {

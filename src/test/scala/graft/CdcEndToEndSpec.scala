@@ -214,6 +214,23 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(lineage.size >= 3)
   }
 
+  test("merge-on-read crash-resume: restart completes with no double-apply") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val ckpt = tmpDir("ckpt")
+    val opts = PipelineOptions(maxFilesPerTrigger = 1, mergeMode = "mor")
+    val q1 = CdcPipeline.stream(spark, log, t, ckpt, opts)
+    var waited = 0
+    while (t.currentVersion < 2 && waited < 600) { Thread.sleep(100); waited += 1 }
+    q1.stop(); q1.awaitTermination()
+    val q2 = CdcPipeline.stream(spark, log, t, ckpt, opts)
+    q2.awaitTermination()
+    assert(tableState(t) == oracleState(collectEvents()))
+    val committed = CdcPipeline.readLineage(spark, t).filter(_.result == "committed").map(_.epoch)
+    assert(committed.distinct.size == committed.size)
+  }
+
   test("merge-on-read epochs are idempotent and auto-compact bounds deltas") {
     val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 2)
     val opts = PipelineOptions(mergeMode = "mor", morCompactDeltasPerBucket = 2)
@@ -250,6 +267,19 @@ class CdcEndToEndSpec extends SparkSpec {
       .as[(Long, Long, String, String)].collect().sortBy(_._2).toSeq
     assert(hist == Seq((1L, 1L, "I", "v1"), (2L, 3L, "U", "v2"),
       (3L, 4L, "D", "v2"), (4L, 5L, "I", "v3")))
+  }
+
+  test("wide commits compute manifest row counts on executors, not the driver") {
+    // > 256 files in one commit triggers the distributed footer-read path
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 300)
+    val batch = (1 to 3000).map(i => ChangeEvent(s"c$i", i % 50, "user", s"t$i", null,
+      new java.sql.Timestamp(1000L + i), i.toLong, "I")).toDF()
+    CdcPipeline.applyBatch(t, batch, 0)
+    val snap = t.snapshot()
+    assert(snap.files.size > 256, s"expected wide commit, got ${snap.files.size} files")
+    assert(snap.rows == 3000)
+    assert(snap.files.map(_.rows).sum == 3000)
+    assert(t.read(spark).count() == 3000)
   }
 
   test("dirty gate quarantines and enforces limits") {

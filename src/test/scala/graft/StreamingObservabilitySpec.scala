@@ -43,4 +43,35 @@ class StreamingObservabilitySpec extends SparkSpec {
       assert(listener.progress.peek().contains("numInputRows"))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("flatMapGroupsWithState tracks per-conversation state across micro-batches") {
+    import spark.implicits._
+    import graft.model.ChangeEvent
+    import graft.streaming.ConversationState
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val q = ConversationState.track(input.toDS())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("conv_state")
+      .start()
+    def ev(conv: String, lsn: Long, tsSec: Long) =
+      ChangeEvent(conv, 1, "user", "x", null, new java.sql.Timestamp(tsSec * 1000), lsn, "U")
+    try {
+      // batch 1: two conversations, in order
+      input.addData(ev("a", 1, 100), ev("a", 2, 200), ev("b", 10, 100))
+      q.processAllAvailable()
+      // batch 2: conversation a receives an OUT-OF-ORDER lsn (regression)
+      input.addData(ev("a", 0, 300), ev("b", 11, 150))
+      q.processAllAvailable()
+      val rows = spark.table("conv_state")
+        .select("conv_id", "events", "max_lsn", "lsn_regressions")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      // latest update per conversation carries the CUMULATIVE state
+      val latest = rows.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(latest("a") == ("a", 3L, 2L, 1L), s"got ${latest("a")}")
+      assert(latest("b") == ("b", 2L, 11L, 0L), s"got ${latest("b")}")
+    } finally q.stop()
+  }
 }
