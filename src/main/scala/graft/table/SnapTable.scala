@@ -25,9 +25,13 @@ final case class Snapshot(
 }
 
 /** `kind` = "base" (fully merged) or "delta" (merge-on-read overlay written
-  * without rewriting its bucket; reduced away at read/compaction). */
+  * without rewriting its bucket; reduced away at read/compaction).
+  * `minLsn`/`maxLsn` are parquet footer column statistics captured at
+  * manifest time — the pruning index for incremental (`readChangesSince`)
+  * consumers; None when footer stats were unavailable (file must then be
+  * assumed to overlap any range). */
 final case class DataFileEntry(path: String, bucket: Int, schemaV: Int, rows: Long,
-    kind: String = "base")
+    kind: String = "base", minLsn: Option[Long] = None, maxLsn: Option[Long] = None)
 
 sealed trait MergeResult
 object MergeResult {
@@ -307,27 +311,91 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       val bucket = st.getPath.getParent.getName.stripPrefix(s"$BucketCol=").toInt
       (st.getPath.toString, bucket, st.getPath.getName)
     }
-    val counted: Seq[(String, Int, String, Long)] =
+    val counted: Seq[(String, Int, String, SnapTable.FooterStats)] =
       if (named.size <= DriverManifestMax || spark == null) {
         // footer reads are independent -> parallel on the driver
         import scala.collection.parallel.CollectionConverters._
-        named.par.map { case (p, b, n) => (p, b, n, parquetRowCount(new Path(p))) }.seq.toSeq
+        named.par.map { case (p, b, n) => (p, b, n, SnapTable.footerStats(p, fs.getConf)) }
+          .seq.toSeq
       } else {
         val slices = math.min(named.size, spark.sparkContext.defaultParallelism * 2)
         spark.sparkContext.parallelize(named, slices).map { case (p, b, n) =>
-          (p, b, n, SnapTable.footerRowCount(p))
+          (p, b, n, SnapTable.footerStats(p, new Configuration()))
         }.collect().toSeq
       }
-    counted.map { case (_, bucket, name, rows) =>
-      DataFileEntry(s"$rel/$BucketCol=$bucket/$name", bucket, schemaV, rows, kind)
+    counted.map { case (_, bucket, name, st) =>
+      DataFileEntry(s"$rel/$BucketCol=$bucket/$name", bucket, schemaV, st.rows, kind,
+        st.minLsn, st.maxLsn)
     }
   }
 
-  private def parquetRowCount(p: Path): Long = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, fs.getConf))
-    try r.getRecordCount finally r.close()
+  // ---- pruned read paths ----------------------------------------------------
+
+  /** Bucket of one concrete key (same canonical-cast hash the layout uses),
+    * resolved with one driver-local expression eval. */
+  private def bucketOf(spark: SparkSession, convId: String, turnIdx: Long,
+      buckets: Int): Int =
+    spark.range(1).select(pmod(xxhash64(
+      graft.model.Schemas.mergeKeyCanonicalTypes.map {
+        case ("conv_id", t) => lit(convId).cast(t)
+        case (_, t) => lit(turnIdx).cast(t)
+      }: _*), lit(buckets)).cast("int")).head().getInt(0)
+
+  /**
+   * Point lookup: prune to the single bucket of the key before scanning —
+   * IO is O(table/numBuckets), the KV-get path (reference analogue: OTS/
+   * HBase row gets). Works in both merge modes (deltas of that bucket are
+   * reduced in-path).
+   */
+  def readKey(spark: SparkSession, convId: String, turnIdx: Long): DataFrame = {
+    val snap = snapshot()
+    val b = bucketOf(spark, convId, turnIdx, snap.numBuckets)
+    val files = snap.files.filter(_.bucket == b)
+    val raw = readAligned(spark, snap, files, snap.schema)
+      .filter(col("conv_id") === convId && col("turn_idx") === turnIdx)
+    val reduced = if (files.exists(_.kind == "delta")) lwwReduce(raw, snap.schema) else raw
+    reduced.filter(col("op") =!= "D").drop("op")
+  }
+
+  /** Files that can contain rows with lsn > the watermark (footer-stats
+    * pruning; files without stats are conservatively included). */
+  private[table] def filesWithLsnAbove(snap: Snapshot, lsnExclusive: Long): Seq[DataFileEntry] =
+    snap.files.filter(_.maxLsn.forall(_ > lsnExclusive))
+
+  /**
+   * Incremental consumption: every retained change state with
+   * `lsn > lsnExclusive` (tombstones INCLUDED — a downstream MERGE needs
+   * the deletes), pruned to the files whose footer lsn range overlaps.
+   * This is the table acting as a CDC SOURCE for downstream sync: a
+   * consumer remembers the max lsn it applied and polls with it. CoW
+   * rewrites copy old rows into new files, but the row-level lsn filter
+   * still excludes them — consumers see each change exactly once.
+   */
+  def readChangesSince(spark: SparkSession, lsnExclusive: Long): DataFrame = {
+    val snap = snapshot()
+    readAligned(spark, snap, filesWithLsnAbove(snap, lsnExclusive), snap.schema)
+      .filter(col("lsn") > lsnExclusive)
+  }
+
+  // ---- maintenance ----------------------------------------------------------
+
+  /**
+   * Retain the most recent `keepLast` snapshots (always including the
+   * current one); delete older snapshot manifests and any data file no
+   * retained snapshot references — the time-travel-horizon GC every
+   * snapshot table needs (Iceberg's expire_snapshots analogue). Returns
+   * (snapshotsDeleted, dataFilesDeleted).
+   */
+  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val versions = history
+    val (expire, retain) = versions.splitAt(math.max(0, versions.size - keepLast))
+    if (expire.isEmpty) return (0, 0)
+    val referenced = retain.map(snapshot(_)).flatMap(_.files.map(_.path)).toSet
+    val doomed = expire.map(snapshot(_)).flatMap(_.files.map(_.path)).toSet -- referenced
+    doomed.foreach(rel => fs.delete(new Path(root, rel), false))
+    expire.foreach(v => fs.delete(snapPath(v), false))
+    (expire.size, doomed.size)
   }
 
   /**
@@ -447,14 +515,27 @@ object SnapTable {
   val BucketCol = "__bucket"
   val PropLastEpoch = "graft.lastEpoch"
 
-  /** Executor-side parquet footer row count (metadata-only read). */
-  private[table] def footerRowCount(path: String): Long = {
+  final case class FooterStats(rows: Long, minLsn: Option[Long], maxLsn: Option[Long])
+
+  /** Parquet footer stats (metadata-only read): row count + lsn column
+    * min/max from the row-group statistics. Runs on the driver for narrow
+    * commits, on executors for wide ones. */
+  private[table] def footerStats(path: String, conf: Configuration): FooterStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val p = new Path(path)
-    val conf = new Configuration() // scheme resolved from the path URI
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-    try r.getRecordCount finally r.close()
+    import scala.jdk.CollectionConverters._
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val rows = r.getRecordCount
+      val lsnStats = r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala
+        .filter(_.getPath.toDotString == "lsn").map(_.getStatistics))
+      val bounds =
+        if (lsnStats.isEmpty || lsnStats.exists(s => s == null || !s.hasNonNullValue)) None
+        else Some((
+          lsnStats.map(_.genericGetMin.asInstanceOf[Number].longValue()).min,
+          lsnStats.map(_.genericGetMax.asInstanceOf[Number].longValue()).max))
+      FooterStats(rows, bounds.map(_._1), bounds.map(_._2))
+    } finally r.close()
   }
 
   /** Key columns for merge/bucketing (fixed for the transcript table). */

@@ -282,6 +282,65 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(t.read(spark).count() == 3000)
   }
 
+  test("point lookup reads only the key's bucket (KV-get path)") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val batch = (1 to 400).map(i => ChangeEvent(s"c${i % 80}", i % 5, "user", s"t$i", null,
+      new java.sql.Timestamp(1000L + i), i.toLong, "U")).toDF()
+    CdcPipeline.applyBatch(t, batch, 0)
+    val full = t.read(spark).filter(col("conv_id") === "c7" && col("turn_idx") === 2)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().toSet
+    val point = t.readKey(spark, "c7", 2L)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().toSet
+    assert(point == full && point.nonEmpty)
+    // pruning: the lookup's scan touches exactly one bucket directory
+    val touchedBuckets = t.readKey(spark, "c7", 2L).inputFiles
+      .map(_.split("__bucket=")(1).split("/")(0)).toSet
+    assert(touchedBuckets.size == 1, s"expected 1 bucket, scanned $touchedBuckets")
+    assert(t.readKey(spark, "c7", 2L).inputFiles.length < t.snapshot().files.size)
+  }
+
+  test("readChangesSince yields exactly the new changes (deletes included) with file pruning") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 8)
+    val opts = PipelineOptions(mergeMode = "mor")
+    def ev(i: Int, lsn: Long, op: String) = ChangeEvent(s"c$i", 1, "user", s"v$lsn", null,
+      new java.sql.Timestamp(1000L + lsn), lsn, op)
+    CdcPipeline.applyBatch(t, (1 to 50).map(i => ev(i, 100 + i, "I")).toDF(), 0, opts)
+    CdcPipeline.applyBatch(t, (1 to 20).map(i => ev(i, 200 + i, "U")).toDF(), 1, opts)
+    CdcPipeline.applyBatch(t, (Seq(ev(1, 301, "D")) ++ (2 to 5).map(i => ev(i, 300 + i, "U")))
+      .toDF(), 2, opts)
+    // consumer applied everything through lsn 220: only epoch-2 changes remain
+    val changes = t.readChangesSince(spark, 220L)
+      .select("conv_id", "lsn", "op").as[(String, Long, String)].collect().toSet
+    assert(changes == Set(("c1", 301L, "D"), ("c2", 302L, "U"), ("c3", 303L, "U"),
+      ("c4", 304L, "U"), ("c5", 305L, "U")))
+    // footer-stats pruning: the scan skips the files of earlier epochs
+    val scanned = t.readChangesSince(spark, 220L).inputFiles.length
+    assert(scanned < t.snapshot().files.size,
+      s"expected lsn-stat pruning, scanned $scanned of ${t.snapshot().files.size}")
+  }
+
+  test("expireSnapshots GCs old manifests and orphan files; shared files survive") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 8)
+    def ev(i: Int, lsn: Long) = ChangeEvent(s"c$i", 1, "user", s"v$lsn", null,
+      new java.sql.Timestamp(1000L + lsn), lsn, "U")
+    // epoch 0 fills all buckets; epochs 1-2 touch ONE key each, so most
+    // files are shared between consecutive snapshots
+    CdcPipeline.applyBatch(t, (1 to 64).map(i => ev(i, 100 + i)).toDF(), 0)
+    CdcPipeline.applyBatch(t, Seq(ev(1, 201)).toDF(), 1)
+    CdcPipeline.applyBatch(t, Seq(ev(2, 301)).toDF(), 2)
+    val before = t.read(spark).select("conv_id", "text").as[(String, String)]
+      .collect().toSet
+    val oldVersions = t.history.dropRight(1)
+    val (snapsGone, filesGone) = t.expireSnapshots(keepLast = 1)
+    assert(snapsGone == oldVersions.size && filesGone > 0)
+    assert(t.history == Seq(t.currentVersion))
+    // current state fully intact (shared files were NOT deleted)
+    assert(t.read(spark).select("conv_id", "text").as[(String, String)]
+      .collect().toSet == before)
+    // expired versions are no longer time-travelable
+    intercept[Exception] { t.readVersion(spark, oldVersions.head).count() }
+  }
+
   test("dirty gate quarantines and enforces limits") {
     val good = Seq(ChangeEvent("c1", 1, "user", "x", null,
       new java.sql.Timestamp(1000), 1, "I"))
