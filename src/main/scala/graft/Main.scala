@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
  *          [--buckets N] [--max-files-per-trigger N] [--max-bytes-per-trigger B]
  *          [--merge-mode cow|mor]   # mor = O(batch) delta commits + compaction
  *   compact --table DIR             # fold merge-on-read deltas into base files
+ *   sync   --source DIR --dest DIR [--buckets N] [--merge-mode cow|mor]
+ *                                 # incremental table->table replication:
+ *                                 # changes since the dest's own lsn watermark
+ *   expire --table DIR --keep N     # GC snapshots past the retention horizon
  *   show   --table DIR [--limit N]
  *   lineage --table DIR
  *   job    --job FILE.json        # DataX-shaped job config (reader ->
@@ -77,6 +81,23 @@ object Main {
         val rewritten = table.compact(spark)
         println(s"compacted: filesRewritten=$rewritten version=${table.currentVersion} " +
           s"deltasRemaining=${table.deltaFileCount}")
+
+      case "sync" =>
+        val source = SnapTable.load(spark, opts("source"))
+        val destDir = opts("dest")
+        val dest =
+          if (new java.io.File(s"$destDir/meta").exists) SnapTable.load(spark, destDir)
+          else SnapTable.create(spark, destDir, Schemas.payloadV1,
+            numBuckets = opts.getOrElse("buckets", "32").toInt)
+        val r = graft.cdc.Sync.sync(spark, source, dest,
+          PipelineOptions(mergeMode = opts.getOrElse("merge-mode", "cow")))
+        println(s"sync ${r.result}: fromLsn=${r.fromLsn} toLsn=${r.toLsn} " +
+          s"rowsApplied=${r.rowsApplied} destVersion=${dest.currentVersion}")
+
+      case "expire" =>
+        val table = SnapTable.load(spark, opts("table"))
+        val (snaps, files) = table.expireSnapshots(opts.getOrElse("keep", "5").toInt)
+        println(s"expired: snapshots=$snaps orphanFiles=$files version=${table.currentVersion}")
 
       case "lineage" =>
         val table = SnapTable.load(spark, opts("table"))

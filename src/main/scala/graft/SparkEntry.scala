@@ -129,7 +129,9 @@ object SparkEntry {
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      // right side filtered so the anti-join is non-empty at test SF
+      c.join(o.filter(col("o_orderstatus") === "F"),
+          c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_no_order"))
         .orderBy("c_mktsegment")
     }),
@@ -475,7 +477,8 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_no_order FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_semi_join" ->

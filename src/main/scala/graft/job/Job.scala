@@ -172,6 +172,14 @@ object Job {
       case "orcreader" =>
         TypedFileSource.readOrc(spark, Seq((p.parameter \ "path").extract[String]),
           columnSpecs(p.parameter))
+      case "snaptablereader" =>
+        // live table state, or its change feed beyond `sinceLsn` (the
+        // table-as-CDC-source path used by Sync)
+        val table = SnapTable.load(spark, (p.parameter \ "path").extract[String])
+        (p.parameter \ "sinceLsn").extractOpt[Long] match {
+          case Some(lsn) => table.readChangesSince(spark, lsn)
+          case None => table.read(spark)
+        }
       case "changelogreader" =>
         spark.read.schema(Schemas.envelope)
           .option("recursiveFileLookup", "true")

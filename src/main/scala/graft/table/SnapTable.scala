@@ -377,6 +377,22 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       .filter(col("lsn") > lsnExclusive)
   }
 
+  /** Highest change lsn this table has applied — the natural resume
+    * watermark for an incremental consumer syncing FROM this table (or for
+    * deciding that a sync INTO this table has nothing to do). Metadata-only
+    * when every manifest entry carries footer stats; falls back to a scan
+    * for stat-less files. -1 on an empty table. */
+  def maxAppliedLsn(spark: SparkSession): Long = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) -1L
+    else if (snap.files.forall(_.maxLsn.nonEmpty)) snap.files.flatMap(_.maxLsn).max
+    else {
+      val r = readAligned(spark, snap, snap.files, snap.schema)
+        .agg(max(col("lsn"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+  }
+
   // ---- maintenance ----------------------------------------------------------
 
   /**

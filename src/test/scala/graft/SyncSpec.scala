@@ -1,0 +1,81 @@
+package graft
+
+import graft.cdc.{CdcPipeline, PipelineOptions, Sync}
+import graft.model.{ChangeEvent, Schemas}
+import graft.table.SnapTable
+import org.apache.spark.sql.functions._
+
+/** Incremental table->table replication over the change feed. */
+class SyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(i: Int, lsn: Long, op: String) = ChangeEvent(s"c$i", 1, "user",
+    s"v$lsn", null, new java.sql.Timestamp(1000L + lsn), lsn, op)
+
+  private def state(t: SnapTable): Set[(String, String)] =
+    t.read(spark).select("conv_id", "text").as[(String, String)].collect().toSet
+
+  test("bootstrap sync replicates full state including deletes") {
+    val src = SnapTable.create(spark, tmpDir("src"), Schemas.payloadV2, numBuckets = 8)
+    CdcPipeline.applyBatch(src, (1 to 40).map(i => ev(i, 100 + i, "I")).toDF(), 0)
+    CdcPipeline.applyBatch(src,
+      (Seq(ev(3, 201, "D")) ++ (4 to 10).map(i => ev(i, 200 + i, "U"))).toDF(), 1)
+    val dst = SnapTable.create(spark, tmpDir("dst"), Schemas.payloadV2, numBuckets = 8)
+    val r = Sync.sync(spark, src, dst)
+    assert(r.result == "committed" && r.fromLsn == -1L)
+    assert(state(dst) == state(src))
+    assert(!dst.read(spark).select("conv_id").as[String].collect().contains("c3"))
+  }
+
+  test("incremental sync applies only new changes; no-change round is metadata-only") {
+    val src = SnapTable.create(spark, tmpDir("src"), Schemas.payloadV2, numBuckets = 8)
+    CdcPipeline.applyBatch(src, (1 to 40).map(i => ev(i, 100 + i, "I")).toDF(), 0)
+    val dst = SnapTable.create(spark, tmpDir("dst"), Schemas.payloadV2, numBuckets = 8)
+    Sync.sync(spark, src, dst)
+    val v1 = dst.currentVersion
+
+    // advance the source: one update, one delete
+    CdcPipeline.applyBatch(src, Seq(ev(5, 201, "U"), ev(7, 202, "D")).toDF(), 1)
+    val r2 = Sync.sync(spark, src, dst)
+    assert(r2.result == "committed" && r2.fromLsn == 140L && r2.toLsn == 202L)
+    assert(state(dst) == state(src))
+    assert(dst.currentVersion == v1 + 1)
+
+    // nothing new: watermark comparison short-circuits, no commit happens
+    val r3 = Sync.sync(spark, src, dst)
+    assert(r3.result == "no_change" && r3.rowsApplied == 0L)
+    assert(dst.currentVersion == v1 + 1)
+  }
+
+  test("sync from a merge-on-read source folds multi-state keys to LWW winners") {
+    val src = SnapTable.create(spark, tmpDir("src"), Schemas.payloadV2, numBuckets = 8)
+    val mor = PipelineOptions(mergeMode = "mor")
+    CdcPipeline.applyBatch(src, (1 to 30).map(i => ev(i, 100 + i, "I")).toDF(), 0, mor)
+    CdcPipeline.applyBatch(src, (1 to 10).map(i => ev(i, 200 + i, "U")).toDF(), 1, mor)
+    assert(src.deltaFileCount > 0) // base+delta states coexist on disk
+    val dst = SnapTable.create(spark, tmpDir("dst"), Schemas.payloadV2, numBuckets = 8)
+    val r = Sync.sync(spark, src, dst)
+    assert(r.result == "committed")
+    assert(state(dst) == state(src))
+    // stale base states lost the LWW reduce: exactly one row per live key
+    assert(dst.read(spark).groupBy("conv_id", "turn_idx").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("schema evolution propagates through sync") {
+    val src = SnapTable.create(spark, tmpDir("src"), Schemas.payloadV1, numBuckets = 8)
+    CdcPipeline.applyBatch(src,
+      (1 to 20).map(i => ev(i, 100 + i, "I")).toDF().drop("tool"), 0)
+    val dst = SnapTable.create(spark, tmpDir("dst"), Schemas.payloadV1, numBuckets = 8)
+    Sync.sync(spark, src, dst)
+    // source evolves: tool column appears
+    CdcPipeline.applyBatch(src,
+      Seq(ev(1, 201, "U")).toDF().withColumn("tool", lit("search")), 1)
+    val r = Sync.sync(spark, src, dst)
+    assert(r.result == "committed")
+    assert(dst.read(spark).columns.contains("tool"))
+    assert(dst.read(spark).filter(col("conv_id") === "c1").select("tool")
+      .as[String].head() == "search")
+    assert(state(dst) == state(src))
+  }
+}
