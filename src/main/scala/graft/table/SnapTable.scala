@@ -33,6 +33,33 @@ final case class Snapshot(
 final case class DataFileEntry(path: String, bucket: Int, schemaV: Int, rows: Long,
     kind: String = "base", minLsn: Option[Long] = None, maxLsn: Option[Long] = None)
 
+/** Write-time derived column: computed from each WINNING row exactly once
+  * over the row's lifetime — stored rows keep their persisted value
+  * (coalesce short-circuits in codegen), and losing duplicate/superseded
+  * change events are never evaluated at all. The static `dataType` keeps
+  * schema evolution deterministic (the column joins the target schema
+  * before any plan binds). `expr` may reference the group's prelude
+  * columns (see [[Derived]]). */
+final case class DerivedColumn(name: String, dataType: DataType,
+    expr: org.apache.spark.sql.Column)
+
+/** A group of derived columns with optional shared PRELUDE expressions.
+  * Codegen subexpression elimination does not look inside conditional
+  * branches, so N derived columns that each embed the same expensive
+  * subtree under their coalesce would evaluate it N times; a prelude names
+  * the subtree once, gated on the rows that actually need deriving, and
+  * the column exprs read from it (the prelude column lives in its own
+  * projection — CollapseProject keeps non-cheap multi-referenced
+  * expressions un-inlined — and never reaches disk). */
+final case class Derived(prelude: Seq[(String, org.apache.spark.sql.Column)],
+    cols: Seq[DerivedColumn]) {
+  def isEmpty: Boolean = cols.isEmpty
+}
+object Derived {
+  val none: Derived = Derived(Nil, Nil)
+  def apply(cols: DerivedColumn*): Derived = Derived(Nil, cols.toSeq)
+}
+
 sealed trait MergeResult
 object MergeResult {
   /** epoch already committed — replay skipped (exactly-once). */
@@ -229,8 +256,12 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   def merge(batch: DataFrame, epoch: Long): MergeResult = merge(batch, epoch, None)
 
   /** Variant with a precomputed touched-bucket set (the pipeline derives it
-    * in the same aggregation pass as its lineage accounting, saving a scan). */
-  def merge(batch: DataFrame, epoch: Long, knownTouched: Option[Set[Int]]): MergeResult = {
+    * in the same aggregation pass as its lineage accounting, saving a scan)
+    * and optional write-time [[DerivedColumn]]s (computed on winner rows
+    * only — at ~3 change events per surviving row, deriving after the LWW
+    * reduce does a third of the work of deriving per event). */
+  def merge(batch: DataFrame, epoch: Long, knownTouched: Option[Set[Int]],
+      derived: Derived = Derived.none): MergeResult = {
     val spark = batch.sparkSession
     val debug = sys.env.contains("GRAFT_DEBUG_TIMING")
     var tMark = System.nanoTime()
@@ -245,7 +276,8 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     // 1. schema evolution (driver-side, before any executor plan binds —
     //    SURVEY.md §7.4 risk 4).
     val tableSchema = snap.schema
-    val target = SchemaEvolution.merge(tableSchema, batch.schema)
+    val target = SnapTable.withDerived(
+      SchemaEvolution.merge(tableSchema, batch.schema), derived)
     val evolved = target.toDDL != tableSchema.toDDL
     val schemaVersions =
       if (evolved) snap.schemaVersions + ((snap.currentSchemaV + 1).toString -> target.toDDL)
@@ -276,7 +308,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     // 4. write one file group per touched bucket under this commit's dir.
     val newVersion = snap.version + 1
     val commitRel = f"data/c$newVersion%08d"
-    winners
+    SnapTable.applyDerived(winners, derived)
       .repartition(math.max(1, touched.size), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     mark("merge-write")
@@ -428,11 +460,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    * Exactly-once and schema evolution behave identically to [[merge]] (the
    * epoch rides the same atomic commit).
    */
-  def mergeDelta(batch: DataFrame, epoch: Long): MergeResult = {
+  def mergeDelta(batch: DataFrame, epoch: Long,
+      derived: Derived = Derived.none): MergeResult = {
     val snap = snapshot()
     if (epoch <= snap.lastEpoch) return MergeResult.SkippedEpoch
     val tableSchema = snap.schema
-    val target = SchemaEvolution.merge(tableSchema, batch.schema)
+    val target = SnapTable.withDerived(
+      SchemaEvolution.merge(tableSchema, batch.schema), derived)
     val evolved = target.toDDL != tableSchema.toDDL
     val schemaVersions =
       if (evolved) snap.schemaVersions + ((snap.currentSchemaV + 1).toString -> target.toDDL)
@@ -451,7 +485,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 
     val newVersion = snap.version + 1
     val commitRel = f"data/c$newVersion%08d"
-    winners
+    SnapTable.applyDerived(winners, derived)
       .repartition(math.max(1, snap.numBuckets / 4), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     val written = listBucketFiles(spark = batch.sparkSession, s"$root/$commitRel",
@@ -530,6 +564,30 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 object SnapTable {
   val BucketCol = "__bucket"
   val PropLastEpoch = "graft.lastEpoch"
+
+  /** Extend a merge target schema with derived columns not already present. */
+  private[table] def withDerived(target: StructType, derived: Derived): StructType =
+    derived.cols.foldLeft(target)((s, d) =>
+      if (s.fieldNames.contains(d.name)) s
+      else s.add(StructField(d.name, d.dataType, nullable = true)))
+
+  /** Fill derived columns on winner rows: stored winners keep their
+    * persisted values, fresh winners (all-null after alignment) evaluate
+    * the gated prelude once and the generators read from it — each row is
+    * derived once over its lifetime, and never per change event. */
+  private[graft] def applyDerived(winners: DataFrame, derived: Derived): DataFrame =
+    if (derived.isEmpty) winners
+    else {
+      // fresh winners carry null in every derived column; a row needs the
+      // prelude iff any of its derived columns is still null
+      val gate = derived.cols.map(d => col(d.name).isNull).reduce(_ || _)
+      val withPrelude = derived.prelude.foldLeft(winners) { case (df, (n, c)) =>
+        df.withColumn(n, when(gate, c))
+      }
+      val filled = derived.cols.foldLeft(withPrelude)((df, d) =>
+        df.withColumn(d.name, coalesce(col(d.name), d.expr.cast(d.dataType))))
+      if (derived.prelude.isEmpty) filled else filled.drop(derived.prelude.map(_._1): _*)
+    }
 
   final case class FooterStats(rows: Long, minLsn: Option[Long], maxLsn: Option[Long])
 

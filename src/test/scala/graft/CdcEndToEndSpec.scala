@@ -341,6 +341,31 @@ class CdcEndToEndSpec extends SparkSpec {
     intercept[Exception] { t.readVersion(spark, oldVersions.head).count() }
   }
 
+  test("write-time enrichment matches direct computation and tracks the winning row") {
+    import graft.operators.TextAnalysis
+    for (mode <- Seq("cow", "mor")) {
+      val t = SnapTable.create(spark, tmpDir(s"table-$mode"), Schemas.payloadV2, numBuckets = 8)
+      val opts = PipelineOptions(enrich = true, mergeMode = mode)
+      def ev(i: Int, lsn: Long, text: String) = ChangeEvent(s"c$i", 1, "user", text, null,
+        new java.sql.Timestamp(1000L + lsn), lsn, "U")
+      CdcPipeline.applyBatch(t,
+        (1 to 50).map(i => ev(i, 100 + i, s"the quick brown fox jumps over dog $i")).toDF(), 0, opts)
+      // epoch 1 rewrites c1's text — enrichment must follow the new winner,
+      // while untouched rows keep their epoch-0 values
+      CdcPipeline.applyBatch(t,
+        Seq(ev(1, 201, "der schnelle braune fuchs springt und springt")).toDF(), 1, opts)
+      val got = t.read(spark)
+      assert(Set("quality_bp", "lang_pred", "n_tokens").subsetOf(got.columns.toSet))
+      val mismatches = got.filter(
+        col("quality_bp") =!= TextAnalysis.qualityBp(col("text")) ||
+        col("lang_pred") =!= TextAnalysis.languageId(col("text")) ||
+        col("n_tokens") =!= TextAnalysis.tokenCount(col("text")))
+      assert(mismatches.count() == 0, s"stale enrichment in $mode mode")
+      assert(got.filter(col("conv_id") === "c1").select("lang_pred")
+        .as[String].head() == "de")
+    }
+  }
+
   test("dirty gate quarantines and enforces limits") {
     val good = Seq(ChangeEvent("c1", 1, "user", "x", null,
       new java.sql.Timestamp(1000), 1, "I"))

@@ -87,6 +87,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(lsh == exact, s"LSH near-dup recall broke: ${exact.diff(lsh)}")
   }
 
+  test("write-time derivation evaluates the textStats prelude once per row") {
+    val df = spark.range(5).select(
+        concat(lit("c"), col("id")).as("conv_id"), lit(1).as("turn_idx"),
+        concat(lit("hello world "), col("id")).as("text"),
+        lit(null).cast("string").as("tool"), timestamp_seconds(col("id")).as("ts"),
+        col("id").as("lsn"), lit("I").as("op"))
+      .withColumn("quality_bp", lit(null).cast("int"))
+      .withColumn("lang_pred", lit(null).cast("string"))
+      .withColumn("n_tokens", lit(null).cast("int"))
+    val out = graft.table.SnapTable.applyDerived(df, graft.cdc.CdcPipeline.enrichmentColumns)
+    val plan = out.queryExecution.optimizedPlan.toString()
+    val evals = "textstatsexpr".r.findAllIn(plan.toLowerCase).size
+    // the gated prelude must survive optimization as ONE named eval — if
+    // CollapseProject ever starts inlining it into the three consumers,
+    // enrichment cost triples silently
+    assert(evals == 1, s"expected exactly one textstats eval, found $evals:\n$plan")
+  }
+
   test("snapshot-table merge groups by bucket (shuffle keyed on merge keys)") {
     import spark.implicits._
     val events = Seq(
