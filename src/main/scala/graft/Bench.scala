@@ -181,7 +181,10 @@ object Bench {
           "> 3x — host contention, treat this level's numbers as unreliable")
       lv
     }
-    val enriched = coresList.map(c => c -> measure(c, "enriched", repsPerLevel)).toMap
+    // the 1->4 pair IS the north-rule criterion: give it an extra rep so a
+    // single noisy run cannot push the ratio across the 0.8 line either way
+    val enriched = coresList.map(c => c -> measure(c, "enriched",
+      if (c == 1 || c == 4) math.max(repsPerLevel, 3) else repsPerLevel)).toMap
     val raw = Seq(8).filter(coresList.contains)
       .map(c => c -> measure(c, "raw", 1)).toMap
     // steady-state merge-mode comparison at one level: CoW (rewrite touched

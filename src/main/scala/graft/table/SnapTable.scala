@@ -257,9 +257,14 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 
   /** Variant with a precomputed touched-bucket set (the pipeline derives it
     * in the same aggregation pass as its lineage accounting, saving a scan)
-    * and optional write-time [[DerivedColumn]]s (computed on winner rows
-    * only — at ~3 change events per surviving row, deriving after the LWW
-    * reduce does a third of the work of deriving per event). */
+    * and optional write-time [[DerivedColumn]]s, computed on winner rows
+    * AFTER the reduce: deriving per change event does ~10x the evals (the
+    * bench stream folds 10.5M events to 861k winners), and even carrying
+    * the columns as nulls through the reduce costs more than recomputing
+    * them (three UnsafeRow slots on every shuffled+sorted row ≈ 5s/epoch at
+    * 10M events vs ~1s to re-derive a rewritten bucket's winners), so the
+    * reduce runs on the bare envelope and the derivation projects onto its
+    * output. */
   def merge(batch: DataFrame, epoch: Long, knownTouched: Option[Set[Int]],
       derived: Derived = Derived.none): MergeResult = {
     val spark = batch.sparkSession
@@ -284,7 +289,10 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       else snap.schemaVersions
     val newSchemaV = if (evolved) snap.currentSchemaV + 1 else snap.currentSchemaV
 
-    val aligned = SchemaEvolution.align(batch, target)
+    // the reduce runs WITHOUT the derived columns (narrow shuffle rows);
+    // they are re-projected onto the winners before the write
+    val reduceSchema = SnapTable.withoutDerived(target, derived)
+    val aligned = SchemaEvolution.align(batch, reduceSchema)
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
 
     // 2. copy-on-write only the touched buckets.
@@ -292,24 +300,19 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       aligned.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet)
     mark("touched-buckets")
     val (rewrite, keep) = snap.files.partition(f => touched(f.bucket))
-    val old = readAligned(spark, snap, rewrite, target)
+    val old = readAligned(spark, snap, rewrite, reduceSchema)
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
 
-    // 3. LWW winners among stored rows + batch. Spark's hash aggregate gives
-    //    map-side partial max_by for free (two-phase reduce); AQE skew-join
-    //    handles residual hot keys.
+    // 3+4. LWW winners among stored rows + batch, in ONE shuffle that is
+    //    also the file layout: repartition by bucket first — __bucket is a
+    //    grouping column, so HashPartitioning(__bucket) already satisfies
+    //    the aggregation's ClusteredDistribution and no second exchange is
+    //    inserted between the reduce and the bucketed write.
     val unioned = old.unionByName(aligned)
-    val dataCols = target.fields.map(_.name)
-    val winners = unioned
-      .groupBy((Schemas.keyCols :+ BucketCol).map(col): _*)
-      .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
-      .select(col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n)): _*)
-
-    // 4. write one file group per touched bucket under this commit's dir.
+    val winners = SnapTable.lwwWinners(unioned, reduceSchema, math.max(1, touched.size))
     val newVersion = snap.version + 1
     val commitRel = f"data/c$newVersion%08d"
     SnapTable.applyDerived(winners, derived)
-      .repartition(math.max(1, touched.size), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     mark("merge-write")
 
@@ -473,20 +476,19 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       else snap.schemaVersions
     val newSchemaV = if (evolved) snap.currentSchemaV + 1 else snap.currentSchemaV
 
-    val aligned = SchemaEvolution.align(batch, target)
+    val reduceSchema = SnapTable.withoutDerived(target, derived)
+    val aligned = SchemaEvolution.align(batch, reduceSchema)
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
-    // batch-local LWW (dedupes duplicate delivery inside the epoch); stored
-    // rows are NOT read — cross-epoch reduce happens at read/compaction
-    val dataCols = target.fields.map(_.name)
-    val winners = aligned
-      .groupBy((Schemas.keyCols :+ BucketCol).map(col): _*)
-      .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
-      .select(col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n)): _*)
+    // batch-local LWW (dedupes duplicate delivery inside the epoch) in one
+    // bucket-aligned shuffle over the bare envelope (derived columns are
+    // projected onto the winners below); stored rows are NOT read —
+    // cross-epoch reduce happens at read/compaction
+    val winners = SnapTable.lwwWinners(aligned, reduceSchema,
+      math.max(1, snap.numBuckets / 4))
 
     val newVersion = snap.version + 1
     val commitRel = f"data/c$newVersion%08d"
     SnapTable.applyDerived(winners, derived)
-      .repartition(math.max(1, snap.numBuckets / 4), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     val written = listBucketFiles(spark = batch.sparkSession, s"$root/$commitRel",
       commitRel, newSchemaV, kind = "delta")
@@ -519,12 +521,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     if (dirty.isEmpty) return 0L
     val (rewrite, keep) = snap.files.partition(f => dirty(f.bucket))
     val target = snap.schema
-    val winners = lwwReduce(readAligned(spark, snap, rewrite, target), target)
-      .withColumn(BucketCol, bucketExpr(snap.numBuckets))
+    val winners = SnapTable.lwwWinners(
+      readAligned(spark, snap, rewrite, target)
+        .withColumn(BucketCol, bucketExpr(snap.numBuckets)),
+      target, math.max(1, dirty.size))
     val newVersion = snap.version + 1
     val commitRel = f"data/c$newVersion%08d"
     winners
-      .repartition(math.max(1, dirty.size), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
     commit(snap.copy(version = newVersion, parent = snap.version,
@@ -565,27 +568,61 @@ object SnapTable {
   val BucketCol = "__bucket"
   val PropLastEpoch = "graft.lastEpoch"
 
+  /**
+   * Per-key LWW winners of a frame that carries [[BucketCol]], reduced in
+   * ONE shuffle that doubles as the file layout: the explicit repartition
+   * on the bucket column is a grouping column of the aggregation, so
+   * `HashPartitioning(__bucket)` satisfies the aggregation's
+   * ClusteredDistribution (bucket is a pure function of the merge keys —
+   * rows of one key can never land in two partitions) and Catalyst inserts
+   * no second exchange between the reduce and the partitionBy write.
+   * `PlanQualitySpec` pins the single-exchange plan.
+   */
+  private[graft] def lwwWinners(df: DataFrame, target: StructType,
+      numParts: Int): DataFrame = {
+    val dataCols = target.fields.map(_.name)
+    df.repartition(numParts, col(BucketCol))
+      .groupBy((graft.model.Schemas.mergeKeys :+ BucketCol).map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
+      .select(col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n)): _*)
+  }
+
   /** Extend a merge target schema with derived columns not already present. */
   private[table] def withDerived(target: StructType, derived: Derived): StructType =
     derived.cols.foldLeft(target)((s, d) =>
       if (s.fieldNames.contains(d.name)) s
       else s.add(StructField(d.name, d.dataType, nullable = true)))
 
-  /** Fill derived columns on winner rows: stored winners keep their
-    * persisted values, fresh winners (all-null after alignment) evaluate
-    * the gated prelude once and the generators read from it — each row is
-    * derived once over its lifetime, and never per change event. */
+  /** Drop derived columns from the schema the LWW reduce runs over — they
+    * are pure functions of the winner row, so carrying them (even as
+    * nulls: UnsafeRow slots are fixed-width) through the shuffle+sort of
+    * every change event costs more than re-deriving the rewritten buckets'
+    * winners afterwards. */
+  private[table] def withoutDerived(target: StructType, derived: Derived): StructType =
+    if (derived.isEmpty) target
+    else {
+      val names = derived.cols.map(_.name).toSet
+      StructType(target.fields.filterNot(f => names(f.name)))
+    }
+
+  /** Project derived columns onto winner rows: the shared prelude runs
+    * once per row needing derivation, the generators read from it. Columns
+    * already present (e.g. a compaction input) keep non-null stored values
+    * via a gated coalesce; absent columns are computed outright. */
   private[graft] def applyDerived(winners: DataFrame, derived: Derived): DataFrame =
     if (derived.isEmpty) winners
     else {
-      // fresh winners carry null in every derived column; a row needs the
-      // prelude iff any of its derived columns is still null
-      val gate = derived.cols.map(d => col(d.name).isNull).reduce(_ || _)
+      val present = derived.cols.filter(d => winners.columns.contains(d.name))
+      val gate = present.map(d => col(d.name).isNull)
+        .reduceOption(_ || _).getOrElse(lit(true))
       val withPrelude = derived.prelude.foldLeft(winners) { case (df, (n, c)) =>
         df.withColumn(n, when(gate, c))
       }
       val filled = derived.cols.foldLeft(withPrelude)((df, d) =>
-        df.withColumn(d.name, coalesce(col(d.name), d.expr.cast(d.dataType))))
+        df.withColumn(d.name,
+          if (winners.columns.contains(d.name))
+            coalesce(col(d.name), d.expr.cast(d.dataType))
+          else d.expr.cast(d.dataType)))
       if (derived.prelude.isEmpty) filled else filled.drop(derived.prelude.map(_._1): _*)
     }
 

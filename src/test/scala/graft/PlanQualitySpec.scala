@@ -105,6 +105,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(evals == 1, s"expected exactly one textstats eval, found $evals:\n$plan")
   }
 
+  test("merge LWW reduce + bucketed layout share ONE exchange") {
+    val df = spark.range(200).select(
+        concat(lit("c"), col("id") % 40).as("conv_id"),
+        (col("id") % 5).cast("int").as("turn_idx"), lit("user").as("role"),
+        concat(lit("t"), col("id")).as("text"), lit(null).cast("string").as("tool"),
+        timestamp_seconds(col("id")).as("ts"), col("id").as("lsn"), lit("U").as("op"))
+      .withColumn("__bucket", pmod(xxhash64(col("conv_id"),
+        col("turn_idx").cast("long")), lit(8)).cast("int"))
+    val winners = graft.table.SnapTable.lwwWinners(df,
+      graft.model.Schemas.envelopeV2, 8)
+    winners.collect()
+    // AQE prints the initial plan after the final one — only the final counts
+    val s = winners.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    val exchanges = s.linesIterator.count(_.contains("Exchange"))
+    // the explicit bucket repartition must satisfy the aggregation's
+    // distribution — a second exchange would re-shuffle every winner row
+    assert(exchanges == 1, s"expected 1 exchange in the merge reduce, saw $exchanges:\n$s")
+  }
+
   test("snapshot-table merge groups by bucket (shuffle keyed on merge keys)") {
     import spark.implicits._
     val events = Seq(
