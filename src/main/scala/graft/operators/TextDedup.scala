@@ -15,22 +15,39 @@ import org.apache.spark.sql.functions._
  */
 object TextDedup {
 
+  /** Text sketching is CPU-bound per row, but a small corpus arrives as few
+    * parquet row groups (often ONE input partition at test scale), which
+    * serializes the whole shingle/hash pipeline on one core. Fan the rows
+    * out when the scan's parallelism is under half the cluster's — and do
+    * nothing at real scale, where thousands of input splits already exceed
+    * the core count (a blanket repartition would shuffle the full corpus). */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /** Exact dedup by content hash: one hash-groupBy, keeps the smallest id
     * per group (deterministic canonical representative). */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-k-gram shingles per doc: (id, shingle). */
+  /** Distinct word-k-gram shingles per doc: (id, shingle).
+    *
+    * The word split is materialized as its OWN projection column before the
+    * k-gram lambda touches it: Spark evaluates a higher-order function's
+    * body per element with no loop-invariant hoisting, so `slice(split(t),
+    * i+1, k)` inside the lambda re-splits the text once per gram — O(words²)
+    * per document (measured 5x on the LSH pipeline at sf0.1). CollapseProject
+    * keeps the multi-referenced non-cheap split un-inlined. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val words = split(col(textCol), "\\s+")
-    // k-gram i = words[i..i+k): build via transform over index range, then
-    // explode distinct shingles. All inside codegen, no UDF.
+    val withWords = ensureParallelism(df).select(col(idCol), col(textCol),
+      split(col(textCol), "\\s+").as("__w"))
     val grams = expr(
-      s"""transform(sequence(0, greatest(size(split($textCol, '\\\\s+')) - $k, 0)),
-         |  i -> concat_ws(' ', slice(split($textCol, '\\\\s+'), i + 1, $k)))""".stripMargin)
-    df.select(col(idCol), explode(array_distinct(
-        when(size(words) >= k, grams).otherwise(array(col(textCol))))).as("shingle"))
+      s"""transform(sequence(0, greatest(size(__w) - $k, 0)),
+         |  i -> concat_ws(' ', slice(__w, i + 1, $k)))""".stripMargin)
+    withWords.select(col(idCol), explode(array_distinct(
+        when(size(col("__w")) >= k, grams).otherwise(array(col(textCol))))).as("shingle"))
   }
 
   /**
@@ -110,14 +127,19 @@ object TextDedup {
   /** Exact word-k-gram jaccard of two text columns, per row (codegen'd array
     * ops — used for the verify stage of LSH candidates). */
   def exactJaccardOnPairs(pairs: DataFrame, ta: String, tb: String, k: Int): DataFrame = {
-    def grams(c: String) =
-      s"""array_distinct(case when size(split($c, '\\\\s+')) >= $k then
-         |  transform(sequence(0, size(split($c, '\\\\s+')) - $k),
-         |    i -> concat_ws(' ', slice(split($c, '\\\\s+'), i + 1, $k)))
+    // split hoisted out of the lambda for the same O(words²) reason as in
+    // [[shingles]]
+    def grams(w: String, c: String) =
+      s"""array_distinct(case when size($w) >= $k then
+         |  transform(sequence(0, size($w) - $k),
+         |    i -> concat_ws(' ', slice($w, i + 1, $k)))
          |  else array($c) end)""".stripMargin
     pairs
-      .withColumn("ga", expr(grams(ta)))
-      .withColumn("gb", expr(grams(tb)))
+      .withColumn("__wa", split(col(ta), "\\s+"))
+      .withColumn("__wb", split(col(tb), "\\s+"))
+      .withColumn("ga", expr(grams("__wa", ta)))
+      .withColumn("gb", expr(grams("__wb", tb)))
+      .drop("__wa", "__wb")
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ga")) + size(col("gb")) - col("inter")))
@@ -142,19 +164,24 @@ object TextDedup {
   def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       bits: Int = SimhashBits): DataFrame = {
     require(bits % 4 == 0 && bits <= 60, "bits must be a multiple of 4, <= 60")
-    val toks = df.select(col(idCol),
+    // one parse per token: the first 15 hex digits of the md5 become ONE
+    // 60-bit integer (conv), and every signature bit is a shift+mask of it —
+    // instead of 60 substring+instr string parses per (doc, token) row.
+    // Signature bit j still reads bit (j%4) of hex digit (j/4+1): that digit
+    // sits at bit 4*(14 - j/4) of the big-endian parsed value.
+    val toks = ensureParallelism(df).select(col(idCol),
       explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("hv", expr(
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
     val bitSums = (0 until bits).map { j =>
-      val digit = j / 4 + 1 // 1-based hex digit position in the md5 string
-      val b = j % 4
-      sum(when(expr(
-        s"((instr('0123456789abcdef', substring(h, $digit, 1)) - 1) >> $b) & 1") === 1, 1)
-        .otherwise(-1)).as(s"b$j")
+      val p = 4 * (14 - j / 4) + (j % 4)
+      sum(expr(s"(hv >> $p) & 1").cast("int")).as(s"b$j")
     }
-    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    // sign test: (+1/-1 sum) > 0  <=>  2 * ones > tokens
+    toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
       .select(col(idCol), (0 until bits).map(j =>
-        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        when(col(s"b$j") * 2 > col("__n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 

@@ -128,15 +128,19 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     } finally in.close()
   }
 
-  /** Current version: pointer file, else (crash between delete+rename)
-    * recover as the max committed snapshot file. */
-  def currentVersion: Long =
-    if (fs.exists(currentPtr)) readString(currentPtr).trim.toLong
-    else {
-      val snaps = Option(fs.globStatus(new Path(metaDir, "snap-*.json"))).getOrElse(Array())
+  /** Current version: max of the pointer file and the max committed
+    * snapshot. The reconciliation covers BOTH failure windows: a crash
+    * between pointer delete and rename (pointer missing), and two
+    * overlapping writers swapping the pointer out of order (pointer stale
+    * behind an already-committed snapshot). */
+  def currentVersion: Long = {
+    val ptr = if (fs.exists(currentPtr)) readString(currentPtr).trim.toLong else 0L
+    val snaps = Option(fs.globStatus(new Path(metaDir, "snap-*.json"))).getOrElse(Array())
+    val maxSnap =
       if (snaps.isEmpty) 0L
       else snaps.map(_.getPath.getName.stripPrefix("snap-").stripSuffix(".json").toLong).max
-    }
+    math.max(ptr, maxSnap)
+  }
 
   def snapshot(version: Long = currentVersion): Snapshot =
     Serialization.read[Snapshot](readString(snapPath(version)))
@@ -145,16 +149,34 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     Option(fs.globStatus(new Path(metaDir, "snap-*.json"))).getOrElse(Array())
       .map(_.getPath.getName.stripPrefix("snap-").stripSuffix(".json").toLong).sorted.toSeq
 
-  private[table] def commit(s: Snapshot): Unit = {
+  private[table] def commit(s: Snapshot): Unit =
+    require(tryCommit(s), s"snapshot ${s.version} already exists (concurrent writer)")
+
+  /** Attempt to commit; returns false when another writer claimed this
+    * version first (optimistic concurrency — the caller re-reads the new
+    * current snapshot and retries its operation against it, Iceberg-style).
+    * The claim is the exclusive create of the snapshot file itself, so two
+    * writers can never both think they own a version. */
+  private[table] def tryCommit(s: Snapshot): Boolean = {
     val p = snapPath(s.version)
-    require(!fs.exists(p), s"snapshot ${s.version} already exists (concurrent writer?)")
-    writeString(p, Serialization.write(s))
+    // write the manifest aside, then claim the version by atomic rename —
+    // rename-to-existing fails, so two writers can never both own a
+    // version, and a crash mid-write can never leave a partial manifest
+    // under a counted snap-*.json name
+    val aside = new Path(metaDir,
+      s"_snap.tmp-${s.version}-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeString(aside, Serialization.write(s))
+    if (fs.exists(p) || !fs.rename(aside, p)) {
+      fs.delete(aside, false)
+      return false
+    }
     val tmp = new Path(metaDir, s"_current.tmp-${s.version}")
     writeString(tmp, s.version.toString)
     // HDFS rename is atomic; the delete+rename window is covered by the
     // max-snapshot fallback in currentVersion.
     if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
     require(fs.rename(tmp, currentPtr), s"failed to swap $currentPtr")
+    true
   }
 
   // ---- read path ----------------------------------------------------------
@@ -266,7 +288,39 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     * reduce runs on the bare envelope and the derivation projects onto its
     * output. */
   def merge(batch: DataFrame, epoch: Long, knownTouched: Option[Set[Int]],
-      derived: Derived = Derived.none): MergeResult = {
+      derived: Derived = Derived.none): MergeResult =
+    retryingCommit(mergeAttempt(batch, epoch, knownTouched, derived))
+
+  /**
+   * Run one optimistic attempt of `op` per loop iteration; an attempt
+   * returns None when another writer claimed its target version first, in
+   * which case the operation is recomputed against the NEW current
+   * snapshot (Iceberg's optimistic-concurrency loop). The epoch guard is
+   * re-evaluated inside each attempt, so two ingest jobs racing the same
+   * epoch resolve to exactly one Committed and one SkippedEpoch.
+   */
+  private def retryingCommit(op: => Option[MergeResult]): MergeResult = {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      op match {
+        case Some(r) => return r
+        case None =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException(
+      s"commit conflicted $MaxCommitAttempts times — giving up (livelocked writers?)")
+  }
+
+  private val MaxCommitAttempts = 5
+
+  /** Test seam: runs right before an attempt's commit (lets a test inject
+    * a competing writer into the conflict window). */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  private def mergeAttempt(batch: DataFrame, epoch: Long, knownTouched: Option[Set[Int]],
+      derived: Derived): Option[MergeResult] = {
     val spark = batch.sparkSession
     val debug = sys.env.contains("GRAFT_DEBUG_TIMING")
     var tMark = System.nanoTime()
@@ -276,7 +330,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       tMark = now
     }
     val snap = snapshot()
-    if (epoch <= snap.lastEpoch) return MergeResult.SkippedEpoch
+    if (epoch <= snap.lastEpoch) return Some(MergeResult.SkippedEpoch)
 
     // 1. schema evolution (driver-side, before any executor plan binds —
     //    SURVEY.md §7.4 risk 4).
@@ -311,7 +365,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     val unioned = old.unionByName(aligned)
     val winners = SnapTable.lwwWinners(unioned, reduceSchema, math.max(1, touched.size))
     val newVersion = snap.version + 1
-    val commitRel = f"data/c$newVersion%08d"
+    val commitRel = SnapTable.commitDir(newVersion)
     SnapTable.applyDerived(winners, derived)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     mark("merge-write")
@@ -320,7 +374,8 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, newSchemaV)
     mark("manifest-files")
     val newRows = written.map(_.rows).sum + keep.map(_.rows).sum
-    commit(Snapshot(
+    beforeCommitHook()
+    val committed = tryCommit(Snapshot(
       version = newVersion,
       parent = snap.version,
       numBuckets = snap.numBuckets,
@@ -329,7 +384,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       files = keep ++ written,
       props = snap.props + (PropLastEpoch -> epoch.toString),
       rows = newRows))
-    MergeResult.Committed(newVersion, written.map(_.rows).sum, touched.size, evolved)
+    if (!committed) {
+      // another writer owns this version: discard our files, recompute
+      // against the new current snapshot
+      fs.delete(new Path(root, commitRel), true)
+      return None
+    }
+    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, touched.size, evolved))
   }
 
   /** Above this many files per commit, footer row-counts are read on the
@@ -464,9 +525,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    * epoch rides the same atomic commit).
    */
   def mergeDelta(batch: DataFrame, epoch: Long,
-      derived: Derived = Derived.none): MergeResult = {
+      derived: Derived = Derived.none): MergeResult =
+    retryingCommit(mergeDeltaAttempt(batch, epoch, derived))
+
+  private def mergeDeltaAttempt(batch: DataFrame, epoch: Long,
+      derived: Derived): Option[MergeResult] = {
     val snap = snapshot()
-    if (epoch <= snap.lastEpoch) return MergeResult.SkippedEpoch
+    if (epoch <= snap.lastEpoch) return Some(MergeResult.SkippedEpoch)
     val tableSchema = snap.schema
     val target = SnapTable.withDerived(
       SchemaEvolution.merge(tableSchema, batch.schema), derived)
@@ -487,12 +552,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       math.max(1, snap.numBuckets / 4))
 
     val newVersion = snap.version + 1
-    val commitRel = f"data/c$newVersion%08d"
+    val commitRel = SnapTable.commitDir(newVersion)
     SnapTable.applyDerived(winners, derived)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     val written = listBucketFiles(spark = batch.sparkSession, s"$root/$commitRel",
       commitRel, newSchemaV, kind = "delta")
-    commit(Snapshot(
+    beforeCommitHook()
+    val committed = tryCommit(Snapshot(
       version = newVersion,
       parent = snap.version,
       numBuckets = snap.numBuckets,
@@ -501,8 +567,9 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       files = snap.files ++ written,
       props = snap.props + (PropLastEpoch -> epoch.toString),
       rows = snap.rows + written.map(_.rows).sum))
-    MergeResult.Committed(newVersion, written.map(_.rows).sum,
-      written.map(_.bucket).distinct.size, evolved)
+    if (!committed) { fs.delete(new Path(root, commitRel), true); return None }
+    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum,
+      written.map(_.bucket).distinct.size, evolved))
   }
 
   /** Number of delta files currently outstanding (compaction-policy input). */
@@ -516,9 +583,16 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    * instead of per-epoch.
    */
   def compact(spark: SparkSession): Long = {
+    retryingCommit(compactAttempt(spark)) match {
+      case MergeResult.Committed(_, _, buckets, _) => buckets.toLong
+      case MergeResult.SkippedEpoch => 0L
+    }
+  }
+
+  private def compactAttempt(spark: SparkSession): Option[MergeResult] = {
     val snap = snapshot()
     val dirty = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
-    if (dirty.isEmpty) return 0L
+    if (dirty.isEmpty) return Some(MergeResult.SkippedEpoch)
     val (rewrite, keep) = snap.files.partition(f => dirty(f.bucket))
     val target = snap.schema
     val winners = SnapTable.lwwWinners(
@@ -526,13 +600,22 @@ final class SnapTable private (val root: String, fs: FileSystem) {
         .withColumn(BucketCol, bucketExpr(snap.numBuckets)),
       target, math.max(1, dirty.size))
     val newVersion = snap.version + 1
-    val commitRel = f"data/c$newVersion%08d"
+    val commitRel = SnapTable.commitDir(newVersion)
+    // compaction is the read-optimization pass: cluster rows by merge key
+    // within each bucket file so parquet row-group min/max stats line up
+    // with key ranges — point lookups (readKey) skip row groups, and
+    // key-adjacent text compresses better. Ingest never pays this sort.
     winners
+      .sortWithinPartitions((BucketCol +: Schemas.keyCols).map(col): _*)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
-    commit(snap.copy(version = newVersion, parent = snap.version,
+    beforeCommitHook()
+    val committed = tryCommit(snap.copy(version = newVersion, parent = snap.version,
       files = keep ++ written, rows = keep.map(_.rows).sum + written.map(_.rows).sum))
-    rewrite.size.toLong
+    if (!committed) { fs.delete(new Path(root, commitRel), true); return None }
+    // bucketsRewritten carries the FILE count here (compact's caller-facing
+    // "filesRewritten" metric)
+    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, rewrite.size, false))
   }
 
   /** Drop tombstones older than `lsnWatermark` by rewriting their buckets —
@@ -554,7 +637,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       .filter(!(col("op") === "D" && col("lsn") < lsnWatermark))
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
     val newVersion = snap.version + 1
-    val commitRel = f"data/c$newVersion%08d"
+    val commitRel = SnapTable.commitDir(newVersion)
     kept.repartition(math.max(1, buckets.size), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
@@ -586,6 +669,13 @@ object SnapTable {
       .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
       .select(col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n)): _*)
   }
+
+  /** Data directory for one commit ATTEMPT: version-prefixed for humans,
+    * uniquely suffixed so two writers optimistically targeting the same
+    * version never share a directory — the loser's write and its conflict
+    * cleanup can only ever touch its own files. */
+  private[table] def commitDir(version: Long): String =
+    f"data/c$version%08d-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Extend a merge target schema with derived columns not already present. */
   private[table] def withDerived(target: StructType, derived: Derived): StructType =
