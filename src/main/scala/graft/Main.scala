@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
  *   ingest --changelog DIR --table DIR [--checkpoint DIR] [--mode stream|batch]
  *          [--buckets N] [--max-files-per-trigger N] [--max-bytes-per-trigger B]
  *          [--merge-mode cow|mor]   # mor = O(batch) delta commits + compaction
+ *          [--follow-ms N]          # keep tailing the changelog (ProcessingTime
+ *                                   # trigger) instead of drain-and-stop
  *   compact --table DIR             # fold merge-on-read deltas into base files
  *   sync   --source DIR --dest DIR [--buckets N] [--merge-mode cow|mor]
  *                                 # incremental table->table replication:
  *                                 # changes since the dest's own lsn watermark
  *   expire --table DIR --keep N     # GC snapshots past the retention horizon
+ *   describe --table DIR            # versions, schema evolution, file stats
  *   show   --table DIR [--limit N]
  *   lineage --table DIR
  *   job    --job FILE.json        # DataX-shaped job config (reader ->
@@ -58,7 +61,10 @@ object Main {
         val pOpts = PipelineOptions(
           maxFilesPerTrigger = opts.getOrElse("max-files-per-trigger", "8").toInt,
           maxBytesPerTrigger = opts.get("max-bytes-per-trigger").map(_.toLong),
-          mergeMode = opts.getOrElse("merge-mode", "cow"))
+          mergeMode = opts.getOrElse("merge-mode", "cow"),
+          // --follow-ms N keeps tailing the changelog dir at that poll
+          // interval (runs until killed); default drains and stops
+          followIntervalMs = opts.get("follow-ms").map(_.toLong))
         opts.getOrElse("mode", "stream") match {
           case "batch" =>
             val rec = CdcPipeline.replayBatch(spark, opts("changelog"), table, pOpts)
@@ -66,6 +72,9 @@ object Main {
           case "stream" =>
             val q = CdcPipeline.stream(spark, opts("changelog"), table,
               opts.getOrElse("checkpoint", s"$tableDir/_checkpoint"), pOpts)
+            if (pOpts.followIntervalMs.isDefined)
+              println(s"following ${opts("changelog")} (interval " +
+                s"${pOpts.followIntervalMs.get}ms) — stop with SIGINT")
             q.awaitTermination()
             println(s"stream done: version=${table.currentVersion} rows=${table.snapshot().rows}")
         }
@@ -98,6 +107,22 @@ object Main {
         val table = SnapTable.load(spark, opts("table"))
         val (snaps, files) = table.expireSnapshots(opts.getOrElse("keep", "5").toInt)
         println(s"expired: snapshots=$snaps orphanFiles=$files version=${table.currentVersion}")
+
+      case "describe" =>
+        val table = SnapTable.load(spark, opts("table"))
+        val snap = table.snapshot()
+        println(s"root=${table.root}")
+        println(s"version=${snap.version} epoch=${snap.lastEpoch} rows=${snap.rows} " +
+          s"buckets=${snap.numBuckets}")
+        println(s"files=${snap.files.size} (base=${snap.files.count(_.kind == "base")} " +
+          s"delta=${snap.files.count(_.kind == "delta")}) " +
+          s"lsnRange=[${snap.files.flatMap(_.minLsn).minOption.getOrElse(-1L)}," +
+          s"${snap.files.flatMap(_.maxLsn).maxOption.getOrElse(-1L)}]")
+        println(s"history=${table.history.mkString(",")}")
+        snap.schemaVersions.toSeq.sortBy(_._1.toInt).foreach { case (v, ddl) =>
+          val marker = if (v.toInt == snap.currentSchemaV) "*" else " "
+          println(s"schema v$v$marker $ddl")
+        }
 
       case "lineage" =>
         val table = SnapTable.load(spark, opts("table"))

@@ -47,7 +47,12 @@ final case class PipelineOptions(
     /** Max quarantined rows persisted per dirty reason per epoch (the
       * reference's StdoutPluginCollector keeps sampled dirty records for
       * inspection; we persist them under <table>/meta/dirty/). */
-    dirtySampleN: Int = 100)
+    dirtySampleN: Int = 100,
+    /** None = drain what exists and stop (Trigger.AvailableNow — the batch
+      * replay / catch-up shape). Some(ms) = keep tailing the changelog
+      * directory at this poll interval (Trigger.ProcessingTime — the
+      * long-running deployment shape; the query runs until stopped). */
+    followIntervalMs: Option[Long] = None)
 
 /**
  * The end-to-end CDC pipeline: changelog tail -> dirty sideband -> LWW dedup
@@ -236,7 +241,8 @@ object CdcPipeline {
     }).parquet(changelogDir)
     src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(opts.followIntervalMs
+        .map(ms => Trigger.ProcessingTime(ms)).getOrElse(Trigger.AvailableNow()))
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         applyBatch(table, batch, epoch, opts): Unit
       }

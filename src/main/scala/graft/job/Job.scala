@@ -37,7 +37,13 @@ object Job {
   final case class PluginSpec(name: String, parameter: JValue)
   final case class Content(reader: PluginSpec, transformers: Seq[TransformSpec],
       writer: PluginSpec)
-  final case class Spec(settings: Settings, content: Content)
+  /** `contents` mirrors the reference's job.content ARRAY — one
+    * reader->transformers->writer lane each (reference runs the lanes'
+    * tasks in one pooled schedule; here they run as sequential Spark jobs
+    * whose stages each parallelize across the cluster). */
+  final case class Spec(settings: Settings, contents: Seq[Content]) {
+    def content: Content = contents.head
+  }
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -51,10 +57,15 @@ object Job {
     val errorLimit = ErrorLimit(
       (setting \ "errorLimit" \ "record").extractOpt[Long],
       (setting \ "errorLimit" \ "percentage").extractOpt[Double])
-    val content = (root \ "content") match {
-      case JArray(c :: _) => c
-      case other => other // single-object content tolerated
+    val contentJs = (root \ "content") match {
+      case JArray(cs) if cs.nonEmpty => cs
+      case JNothing | JNull => throw new IllegalArgumentException("job.content missing")
+      case other => List(other) // single-object content tolerated
     }
+    Spec(Settings(speed, errorLimit), contentJs.map(parseContent))
+  }
+
+  private def parseContent(content: JValue): Content = {
     val transformers = (content \ "transformer") match {
       case JArray(ts) => ts.map { t =>
         TransformSpec((t \ "name").extract[String],
@@ -72,14 +83,12 @@ object Job {
       }
       case _ => Nil
     }
-    Spec(
-      Settings(speed, errorLimit),
-      Content(
-        PluginSpec((content \ "reader" \ "name").extract[String],
-          content \ "reader" \ "parameter"),
-        transformers,
-        PluginSpec((content \ "writer" \ "name").extract[String],
-          content \ "writer" \ "parameter")))
+    Content(
+      PluginSpec((content \ "reader" \ "name").extract[String],
+        content \ "reader" \ "parameter"),
+      transformers,
+      PluginSpec((content \ "writer" \ "name").extract[String],
+        content \ "writer" \ "parameter"))
   }
 
   // ---- readers -------------------------------------------------------------
@@ -283,28 +292,33 @@ object Job {
     val spec = try parse(json) catch {
       case e: Throwable => return Seq(s"config: ${e.getMessage}")
     }
-    val frame: Option[DataFrame] =
-      try Some(read(spark, spec.content.reader, spec.settings.speed.channel.getOrElse(1)))
-      catch { case e: Throwable => problems += s"reader: ${e.getMessage}"; None }
-    frame.foreach { df =>
-      try df.schema catch { case e: Throwable => problems += s"reader schema: ${e.getMessage}" }
-      spec.content.transformers.foreach { t =>
-        try toTransformAny(df, t)
-        catch { case e: Throwable => problems += s"transformer ${t.name}: ${e.getMessage}" }
+    for ((content, ci) <- spec.contents.zipWithIndex) {
+      val tag = if (spec.contents.size == 1) "" else s"content[$ci] "
+      val frame: Option[DataFrame] =
+        try Some(read(spark, content.reader, spec.settings.speed.channel.getOrElse(1)))
+        catch { case e: Throwable => problems += s"${tag}reader: ${e.getMessage}"; None }
+      frame.foreach { df =>
+        try df.schema catch {
+          case e: Throwable => problems += s"${tag}reader schema: ${e.getMessage}"
+        }
+        content.transformers.foreach { t =>
+          try toTransformAny(df, t)
+          catch { case e: Throwable => problems += s"${tag}transformer ${t.name}: ${e.getMessage}" }
+        }
       }
-    }
-    val wp = spec.content.writer.parameter
-    spec.content.writer.name.toLowerCase match {
-      case "txtfilewriter" | "csvwriter" | "parquetwriter" | "orcwriter" =>
-        val path = (wp \ "path").extractOpt[String]
-        if (path.isEmpty) problems += "writer: missing path"
-        else if ((wp \ "writeMode").extractOpt[String].contains("nonConflict")
-          && new java.io.File(path.get).exists)
-          problems += s"writer: nonConflict target ${path.get} already exists"
-      case "snaptablewriter" =>
-        if ((wp \ "path").extractOpt[String].isEmpty) problems += "writer: missing path"
-      case "streamwriter" => ()
-      case other => problems += s"writer: unknown plugin '$other'"
+      val wp = content.writer.parameter
+      content.writer.name.toLowerCase match {
+        case "txtfilewriter" | "csvwriter" | "parquetwriter" | "orcwriter" =>
+          val path = (wp \ "path").extractOpt[String]
+          if (path.isEmpty) problems += s"${tag}writer: missing path"
+          else if ((wp \ "writeMode").extractOpt[String].contains("nonConflict")
+            && new java.io.File(path.get).exists)
+            problems += s"${tag}writer: nonConflict target ${path.get} already exists"
+        case "snaptablewriter" =>
+          if ((wp \ "path").extractOpt[String].isEmpty) problems += s"${tag}writer: missing path"
+        case "streamwriter" => ()
+        case other => problems += s"${tag}writer: unknown plugin '$other'"
+      }
     }
     problems.toSeq
   }
@@ -337,27 +351,31 @@ object Job {
       val spec = parse(json)
       states += Running
       val channels = spec.settings.speed.channel.getOrElse(1)
-      val raw = read(spark, spec.content.reader, channels)
-      val rowsRead = raw.count()
-      // dirty gate: requiredColumns null checks, reference errorLimit
-      val required = (spec.content.reader.parameter \ "requiredColumns") match {
-        case JArray(cs) => cs.map(_.extract[String])
-        case _ => Nil
-      }
-      val (clean, dirty) =
-        if (required.isEmpty) (raw, 0L)
-        else {
-          val split = Dirty.split(raw, required.map(c =>
-            Dirty.Rule(s"${c}_null", col(c).isNotNull)))
-          val stats = split.stats().enforce(spec.settings.errorLimit)
-          (split.clean, stats.dirty)
+      var (rowsRead, rowsWritten, rowsDirty) = (0L, 0L, 0L)
+      for (content <- spec.contents) {
+        val raw = read(spark, content.reader, channels)
+        rowsRead += raw.count()
+        // dirty gate: requiredColumns null checks, reference errorLimit
+        val required = (content.reader.parameter \ "requiredColumns") match {
+          case JArray(cs) => cs.map(_.extract[String])
+          case _ => Nil
         }
-      val transformed = DataXTransforms.applyChain(clean,
-        spec.content.transformers.map(toTransformAny(clean, _)))
-      val sized = if (channels > 1) transformed.repartition(channels) else transformed
-      val written = write(sized, spec.content.writer)
+        val (clean, dirty) =
+          if (required.isEmpty) (raw, 0L)
+          else {
+            val split = Dirty.split(raw, required.map(c =>
+              Dirty.Rule(s"${c}_null", col(c).isNotNull)))
+            val stats = split.stats().enforce(spec.settings.errorLimit)
+            (split.clean, stats.dirty)
+          }
+        rowsDirty += dirty
+        val transformed = DataXTransforms.applyChain(clean,
+          content.transformers.map(toTransformAny(clean, _)))
+        val sized = if (channels > 1) transformed.repartition(channels) else transformed
+        rowsWritten += write(sized, content.writer)
+      }
       states += Succeeded
-      finish(Report(states.toSeq, rowsRead, written, dirty,
+      finish(Report(states.toSeq, rowsRead, rowsWritten, rowsDirty,
         (System.nanoTime() - t0) / 1000000L, None))
     } catch {
       case e: Throwable =>

@@ -366,6 +366,29 @@ class CdcEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("follow mode keeps tailing: a chunk delivered after start is ingested") {
+    val log = tmpDir("changelog")
+    val chunk1 = s"$log/chunk=00001"
+    def ev(i: Int, lsn: Long) = ChangeEvent(s"c$i", 1, "user", s"v$lsn", null,
+      new java.sql.Timestamp(1000L + lsn), lsn, "I")
+    (1 to 40).map(i => ev(i, 100 + i)).toDF()
+      .write.parquet(s"$log/chunk=00000")
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 8)
+    val q = CdcPipeline.stream(spark, log, t, tmpDir("ckpt"),
+      PipelineOptions(followIntervalMs = Some(250L)))
+    try {
+      def await(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(cond, "timed out waiting for follow-mode ingest")
+      }
+      await(t.currentVersion >= 1 && t.read(spark).count() == 40)
+      // the "binlog" grows while the query is live
+      (41 to 60).map(i => ev(i, 200 + i)).toDF().write.parquet(chunk1)
+      await(t.read(spark).count() == 60)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("dirty gate quarantines and enforces limits") {
     val good = Seq(ChangeEvent("c1", 1, "user", "x", null,
       new java.sql.Timestamp(1000), 1, "I"))

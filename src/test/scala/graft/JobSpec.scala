@@ -41,6 +41,29 @@ class JobSpec extends SparkSpec {
     assert(hookCalls == 1)
   }
 
+  test("multi-content job runs every reader->writer lane and aggregates the report") {
+    val out = tmpDir("multiout")
+    val json =
+      s"""{"job": {
+         |  "setting": {"speed": {"channel": 1}},
+         |  "content": [
+         |    {"reader": {"name": "streamreader", "parameter": {
+         |       "column": [{"value": "laneA", "type": "string", "name": "tag"}],
+         |       "sliceRecordCount": 300}},
+         |     "writer": {"name": "parquetwriter", "parameter": {"path": "$out/a"}}},
+         |    {"reader": {"name": "streamreader", "parameter": {
+         |       "column": [{"value": "laneB", "type": "string", "name": "tag"}],
+         |       "sliceRecordCount": 200}},
+         |     "writer": {"name": "parquetwriter", "parameter": {"path": "$out/b"}}}]}}
+         |""".stripMargin
+    assert(Job.preCheck(spark, json).isEmpty)
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty && report.states.last == Job.Succeeded)
+    assert(report.rowsRead == 500 && report.rowsWritten == 500)
+    assert(spark.read.parquet(s"$out/a").count() == 300)
+    assert(spark.read.parquet(s"$out/b").count() == 200)
+  }
+
   test("csv -> dx transformer chain -> csv job") {
     val in = tmpDir("jobin")
     val out = s"${tmpDir("jobout")}/result"
