@@ -181,6 +181,16 @@ object Job {
       case "orcreader" =>
         TypedFileSource.readOrc(spark, Seq((p.parameter \ "path").extract[String]),
           columnSpecs(p.parameter))
+      case "dirtyreader" =>
+        // replay a snapshot table's quarantined rows (reference: dirty
+        // records retained by the plugin collector are fixed and re-fed);
+        // the reason column is kept so a transformer/filter can route on it
+        val tablePath = (p.parameter \ "path").extract[String]
+        val table = SnapTable.load(spark, tablePath)
+        val epoch = (p.parameter \ "epoch").extract[Long]
+        CdcPipeline.readDirtySamples(spark, table, epoch).getOrElse(
+          throw new IllegalArgumentException(
+            s"no quarantined rows for epoch $epoch under $tablePath"))
       case "snaptablereader" =>
         // live table state, or its change feed beyond `sinceLsn` (the
         // table-as-CDC-source path used by Sync)

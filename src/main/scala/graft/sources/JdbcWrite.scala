@@ -123,12 +123,16 @@ object JdbcWrite {
    * the connection ON THE EXECUTOR — driver connections never serialize).
    */
   def write(df: DataFrame, connect: () => Connection, mode: WriteMode, table: String,
-      batchSize: Int = 2048): (Long, Long) = {
+      batchSize: Int = 2048, preSql: Seq[String] = Nil, postSql: Seq[String] = Nil): (Long, Long) = {
     val cols = df.columns.toSeq
     val sql = template(mode, table, cols)
     val sc = df.sparkSession.sparkContext
     val writtenAcc: LongAccumulator = sc.longAccumulator("jdbc_written")
     val dirtyAcc: LongAccumulator = sc.longAccumulator("jdbc_dirty")
+    // pre/postSql run ONCE per job on a driver-side connection, around the
+    // distributed writes (reference: WriterUtil.executeSqls — e.g. a
+    // truncate/DELETE before load, an index rebuild or audit insert after)
+    if (preSql.nonEmpty) runSqls(connect, preSql)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = connect()
@@ -139,6 +143,16 @@ object JdbcWrite {
         } finally conn.close()
       }
     }
+    if (postSql.nonEmpty) runSqls(connect, postSql)
     (writtenAcc.value, dirtyAcc.value)
+  }
+
+  /** Execute statements sequentially on one fresh connection. */
+  def runSqls(connect: () => Connection, sqls: Seq[String]): Unit = {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      try sqls.foreach(st.execute) finally st.close()
+    } finally conn.close()
   }
 }

@@ -164,4 +164,26 @@ class JdbcSpec extends SparkSpec {
     assert(rs.getInt(1) == 50)
     conn.close()
   }
+
+  test("preSql truncates the target and postSql runs after the load") {
+    import spark.implicits._
+    val conn = derby("prepostdb")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE tgt (pk INT, v VARCHAR(16))")
+    st.execute("CREATE TABLE audit (n INT)")
+    st.execute("INSERT INTO tgt VALUES (999, 'stale')") // preSql must clear it
+    conn.close()
+    val df = (1 to 20).map(i => (i, s"v$i")).toDF("pk", "v").repartition(2)
+    val connect = () => DriverManager.getConnection("jdbc:derby:memory:prepostdb")
+    val (written, dirtyN) = JdbcWrite.write(df, connect, JdbcWrite.Insert, "tgt",
+      preSql = Seq("DELETE FROM tgt"),
+      postSql = Seq("INSERT INTO audit SELECT COUNT(*) FROM tgt"))
+    assert(written == 20 && dirtyN == 0)
+    val c2 = connect()
+    val r1 = c2.createStatement().executeQuery("SELECT COUNT(*) FROM tgt WHERE pk = 999")
+    r1.next(); assert(r1.getInt(1) == 0, "preSql did not clear the stale row")
+    val r2 = c2.createStatement().executeQuery("SELECT n FROM audit")
+    r2.next(); assert(r2.getInt(1) == 20, "postSql audit did not see the loaded rows")
+    c2.close()
+  }
 }

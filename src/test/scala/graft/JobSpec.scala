@@ -123,6 +123,35 @@ class JobSpec extends SparkSpec {
     assert(got == expected.map(e => (e.conv_id, e.turn_idx, e.text)))
   }
 
+  test("dirtyreader replays quarantined rows: fix -> re-merge lands them") {
+    import graft.cdc.{CdcPipeline, ErrorLimit, PipelineOptions}
+    import graft.model.{ChangeEvent, Schemas}
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("table")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 8)
+    def ev(i: Int, lsn: Long, op: String) = ChangeEvent(s"c$i", 1, "user", s"v$lsn", null,
+      new java.sql.Timestamp(1000L + lsn), lsn, op)
+    // 3 rows with an op outside the domain are quarantined, 20 land
+    val batch = (1 to 20).map(i => ev(i, 100 + i, "I")) ++
+      (21 to 23).map(i => ev(i, 100 + i, "X"))
+    CdcPipeline.applyBatch(t, batch.toDF(), 0,
+      PipelineOptions(errorLimit = ErrorLimit(record = Some(10), percentage = None)))
+    assert(t.read(spark).count() == 20)
+    // the fix: rewrite the bad op, drop the reason column, merge back
+    val json =
+      s"""{"job": {"content": [{
+         |  "reader": {"name": "dirtyreader", "parameter": {"path": "$root", "epoch": 0}},
+         |  "transformer": [{"name": "dx_script", "parameter": {"paras": [
+         |    "df.withColumn(\\"op\\", lit(\\"I\\")).drop(\\"__dirty_reason\\")"]}}],
+         |  "writer": {"name": "snaptablewriter", "parameter": {"path": "$root"}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    assert(report.rowsRead == 3)
+    assert(t.read(spark).count() == 23)
+    assert(t.read(spark).filter(col("conv_id") === "c22").count() == 1)
+  }
+
   test("dx_script: user Scala snippet compiled at runtime (dx_groovy parity)") {
     val json =
       """{"job": {"content": [{
