@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // the LWW reduce runs as ObjectHashAggregate (custom typed-imperative
+      // lww_winner); the default 128-key fallback threshold would degrade
+      // to sort-based immediately — size for bucket-per-task key counts
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
 
   def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(cores).getOrCreate()

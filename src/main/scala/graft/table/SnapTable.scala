@@ -220,7 +220,8 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   private def lwwReduce(df: DataFrame, target: StructType): DataFrame = {
     val dataCols = target.fields.map(_.name).toSeq
     df.groupBy(Schemas.keyCols.map(col): _*)
-      .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
+      .agg(graft.functions.LwwWinner.lwwWinner(
+        struct(dataCols.map(col): _*), col("ts"), col("lsn")).as("w"))
       .select(dataCols.map(n => col(s"w.$n").as(n)): _*)
   }
 
@@ -664,9 +665,15 @@ object SnapTable {
   private[graft] def lwwWinners(df: DataFrame, target: StructType,
       numParts: Int): DataFrame = {
     val dataCols = target.fields.map(_.name)
+    // native lww_winner instead of max_by: max_by's struct buffer is not
+    // hash-aggregatable, which planned the whole reduce as a SortAggregate
+    // (every change event sorted by key); the typed-imperative aggregate
+    // keeps one (ts, lsn, row) state per key in ObjectHashAggregate's hash
+    // map — one probe + compare per event, no sort
     df.repartition(numParts, col(BucketCol))
       .groupBy((graft.model.Schemas.mergeKeys :+ BucketCol).map(col): _*)
-      .agg(max_by(struct(dataCols.map(col): _*), struct(col("ts"), col("lsn"))).as("w"))
+      .agg(graft.functions.LwwWinner.lwwWinner(
+        struct(dataCols.map(col): _*), col("ts"), col("lsn")).as("w"))
       .select(col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n)): _*)
   }
 

@@ -341,6 +341,38 @@ class CdcEndToEndSpec extends SparkSpec {
     intercept[Exception] { t.readVersion(spark, oldVersions.head).count() }
   }
 
+  test("native lww_winner aggregate equals max_by on ties, nulls and duplicates") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map { i =>
+      val key = s"k${rnd.nextInt(400)}"
+      val ts = if (rnd.nextInt(50) == 0) null
+        else new java.sql.Timestamp(1000L + rnd.nextInt(20)) // dense -> many ts ties
+      // lsn unique: on an EXACT (ts, lsn) tie both max_by and lww_winner
+      // keep an arbitrary row (real duplicates share identical content, so
+      // that nondeterminism is invisible); dense ts still forces ties that
+      // the lsn must break
+      (key, s"payload-$i", ts, i.toLong, if (rnd.nextBoolean()) "U" else "I")
+    }
+    val df = rows.toDF("k", "text", "ts", "lsn", "op")
+    val viaMaxBy = df.groupBy("k")
+      .agg(max_by(struct(col("text"), col("ts"), col("lsn"), col("op")),
+        struct(col("ts"), col("lsn"))).as("w"))
+      .select(col("k"), col("w.text"), col("w.lsn"))
+    val viaNative = df.groupBy("k")
+      .agg(graft.functions.LwwWinner.lwwWinner(
+        struct(col("text"), col("ts"), col("lsn"), col("op")),
+        col("ts"), col("lsn")).as("w"))
+      .select(col("k"), col("w.text"), col("w.lsn"))
+    val a = viaMaxBy.as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    val b = viaNative.as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // and the plan is a hash aggregation, not a sort aggregation
+    val plan = viaNative.queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"lww_winner must not sort:\n$plan")
+  }
+
   test("write-time enrichment matches direct computation and tracks the winning row") {
     import graft.operators.TextAnalysis
     for (mode <- Seq("cow", "mor")) {
