@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
  *                                 # changes since the dest's own lsn watermark
  *   expire --table DIR --keep N     # GC snapshots past the retention horizon
  *   describe --table DIR            # versions, schema evolution, file stats
+ *   rebucket --table DIR --buckets N # layout evolution: rewrite into N buckets
  *   show   --table DIR [--limit N]
  *   lineage --table DIR
  *   job    --job FILE.json        # DataX-shaped job config (reader ->
@@ -102,6 +103,12 @@ object Main {
           PipelineOptions(mergeMode = opts.getOrElse("merge-mode", "cow")))
         println(s"sync ${r.result}: fromLsn=${r.fromLsn} toLsn=${r.toLsn} " +
           s"rowsApplied=${r.rowsApplied} destVersion=${dest.currentVersion}")
+
+      case "rebucket" =>
+        val table = SnapTable.load(spark, opts("table"))
+        table.rebucket(spark, opts("buckets").toInt)
+        println(s"rebucketed: buckets=${table.snapshot().numBuckets} " +
+          s"version=${table.currentVersion} rows=${table.snapshot().rows}")
 
       case "expire" =>
         val table = SnapTable.load(spark, opts("table"))

@@ -619,6 +619,39 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, rewrite.size, false))
   }
 
+  /**
+   * Layout evolution: rewrite the table into `newBuckets` hash buckets —
+   * the operation that keeps bucket ≈ task-sized as a table grows 100x
+   * (Iceberg's partition-spec evolution analogue; unlike schema evolution
+   * this IS a full rewrite, scheduled like a compaction). Outstanding
+   * deltas fold in on the way through; history stays time-travelable
+   * (older snapshots keep the old layout — bucket pruning always uses the
+   * snapshot's own numBuckets).
+   */
+  def rebucket(spark: SparkSession, newBuckets: Int): Unit = {
+    require(newBuckets >= 1, "need at least one bucket")
+    retryingCommit(rebucketAttempt(spark, newBuckets)): Unit
+  }
+
+  private def rebucketAttempt(spark: SparkSession, newBuckets: Int): Option[MergeResult] = {
+    val snap = snapshot()
+    val target = snap.schema
+    val all = readAligned(spark, snap, snap.files, target)
+      .withColumn(BucketCol, bucketExpr(newBuckets))
+    val winners = SnapTable.lwwWinners(all, target, newBuckets)
+    val newVersion = snap.version + 1
+    val commitRel = SnapTable.commitDir(newVersion)
+    winners
+      .sortWithinPartitions((BucketCol +: Schemas.keyCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
+    beforeCommitHook()
+    val committed = tryCommit(snap.copy(version = newVersion, parent = snap.version,
+      numBuckets = newBuckets, files = written, rows = written.map(_.rows).sum))
+    if (!committed) { fs.delete(new Path(root, commitRel), true); return None }
+    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, newBuckets, false))
+  }
+
   /** Drop tombstones older than `lsnWatermark` by rewriting their buckets —
     * the compaction that bounds tombstone retention. Outstanding
     * merge-on-read deltas are compacted first so the rewrite sees (and

@@ -341,6 +341,32 @@ class CdcEndToEndSpec extends SparkSpec {
     intercept[Exception] { t.readVersion(spark, oldVersions.head).count() }
   }
 
+  test("rebucket rewrites the layout; state, lookups and later merges survive") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 4)
+    def ev(i: Int, lsn: Long, op: String = "U") = ChangeEvent(s"c$i", 1, "user", s"v$lsn",
+      null, new java.sql.Timestamp(1000L + lsn), lsn, op)
+    CdcPipeline.applyBatch(t,
+      ((1 to 200).map(i => ev(i, 100 + i)) :+ ev(7, 301, "D")).toDF(), 0,
+      PipelineOptions(mergeMode = "mor"))
+    val before = t.read(spark).select("conv_id", "text").as[(String, String)]
+      .collect().toSet
+    val oldVersion = t.currentVersion
+    t.rebucket(spark, 16)
+    assert(t.snapshot().numBuckets == 16)
+    assert(t.snapshot().files.forall(_.kind == "base")) // deltas folded
+    assert(t.snapshot().files.map(_.bucket).toSet.size > 4)
+    assert(t.read(spark).select("conv_id", "text").as[(String, String)]
+      .collect().toSet == before)
+    // point lookup uses the NEW layout's hash
+    assert(t.readKey(spark, "c42", 1L).select("text").as[String].head() == "v142")
+    assert(t.readKey(spark, "c42", 1L).inputFiles.length < t.snapshot().files.size)
+    // old snapshot still readable under its own layout
+    assert(t.readVersion(spark, oldVersion).count() == before.size)
+    // subsequent merge buckets by the new count
+    CdcPipeline.applyBatch(t, Seq(ev(42, 401)).toDF(), 1)
+    assert(t.readKey(spark, "c42", 1L).select("text").as[String].head() == "v401")
+  }
+
   test("native lww_winner aggregate equals max_by on ties, nulls and duplicates") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(11)
