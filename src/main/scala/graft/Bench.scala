@@ -111,8 +111,13 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // 20M events: the merge got 1.5x faster per event (no-sort reduce), so
+    // the fixed per-run floor (driver planning, accounting barrier, commit;
+    // ~6s measured) would otherwise dominate a third of a 4-core leg and
+    // understate scaling — a longer replay is also simply closer to the
+    // north rule's SUSTAINED-throughput framing
     val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS",
-      if (sfDir.contains("0.1")) "10000000" else "200000").toLong
+      if (sfDir.contains("0.1")) "20000000" else "200000").toLong
 
     // ---- section 1: headline queries (two passes, report the min — pass 1
     // absorbs JIT/codegen warmup and environment noise) ---------------------
