@@ -626,7 +626,11 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    * this IS a full rewrite, scheduled like a compaction). Outstanding
    * deltas fold in on the way through; history stays time-travelable
    * (older snapshots keep the old layout — bucket pruning always uses the
-   * snapshot's own numBuckets).
+   * snapshot's own numBuckets). Note for incremental consumers: the
+   * rewritten files carry the table's max lsn, so the next
+   * [[readChangesSince]] poll scans them all once (its row-level lsn
+   * filter still yields only true changes — a one-time IO spike, not a
+   * correctness issue).
    */
   def rebucket(spark: SparkSession, newBuckets: Int): Unit = {
     require(newBuckets >= 1, "need at least one bucket")
