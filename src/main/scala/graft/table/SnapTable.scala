@@ -132,14 +132,22 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     * snapshot. The reconciliation covers BOTH failure windows: a crash
     * between pointer delete and rename (pointer missing), and two
     * overlapping writers swapping the pointer out of order (pointer stale
-    * behind an already-committed snapshot). */
+    * behind an already-committed snapshot). Snapshot files AHEAD of the
+    * pointer are parse-validated before counting: the exclusive-create
+    * commit claim (see [[tryCommit]]) writes the manifest through the
+    * claiming stream, so a writer that crashes mid-write leaves a torn
+    * `snap-*.json` — readers must skip it (the pointer is only ever swapped
+    * after a complete manifest close, so everything at or below the pointer
+    * is always whole). */
   def currentVersion: Long = {
     val ptr = if (fs.exists(currentPtr)) readString(currentPtr).trim.toLong else 0L
     val snaps = Option(fs.globStatus(new Path(metaDir, "snap-*.json"))).getOrElse(Array())
-    val maxSnap =
-      if (snaps.isEmpty) 0L
-      else snaps.map(_.getPath.getName.stripPrefix("snap-").stripSuffix(".json").toLong).max
-    math.max(ptr, maxSnap)
+    val ahead = snaps
+      .map(_.getPath.getName.stripPrefix("snap-").stripSuffix(".json").toLong)
+      .filter(_ > ptr).sorted(Ordering[Long].reverse)
+    ahead.find(v =>
+      try { snapshot(v); true } catch { case scala.util.control.NonFatal(_) => false }
+    ).getOrElse(ptr)
   }
 
   def snapshot(version: Long = currentVersion): Snapshot =
@@ -155,21 +163,24 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   /** Attempt to commit; returns false when another writer claimed this
     * version first (optimistic concurrency — the caller re-reads the new
     * current snapshot and retries its operation against it, Iceberg-style).
-    * The claim is the exclusive create of the snapshot file itself, so two
-    * writers can never both think they own a version. */
+    *
+    * The claim is an ATOMIC EXCLUSIVE CREATE of the snapshot file itself,
+    * so two writers can never both think they own a version. Rename was
+    * deliberately rejected as the claim primitive: HDFS rename-to-existing
+    * fails, but Hadoop's local filesystems delegate to POSIX rename, which
+    * silently overwrites — two racing writers would both "win" and the
+    * first manifest would be lost. Exclusive create is atomic on both: the
+    * HDFS NameNode serializes `create(overwrite=false)`, and for `file://`
+    * we bypass the (check-then-act) local FS wrapper and claim via
+    * O_CREAT|O_EXCL (`Files.newOutputStream(CREATE_NEW)`). A crash between
+    * claim and close leaves a torn manifest; [[currentVersion]]
+    * parse-validates ahead-of-pointer snapshots, so readers never see it.
+    */
   private[table] def tryCommit(s: Snapshot): Boolean = {
     val p = snapPath(s.version)
-    // write the manifest aside, then claim the version by atomic rename —
-    // rename-to-existing fails, so two writers can never both own a
-    // version, and a crash mid-write can never leave a partial manifest
-    // under a counted snap-*.json name
-    val aside = new Path(metaDir,
-      s"_snap.tmp-${s.version}-${java.util.UUID.randomUUID().toString.take(8)}")
-    writeString(aside, Serialization.write(s))
-    if (fs.exists(p) || !fs.rename(aside, p)) {
-      fs.delete(aside, false)
-      return false
-    }
+    val out = exclusiveCreate(p).getOrElse(return false)
+    try out.write(Serialization.write(s).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     val tmp = new Path(metaDir, s"_current.tmp-${s.version}")
     writeString(tmp, s.version.toString)
     // HDFS rename is atomic; the delete+rename window is covered by the
@@ -177,6 +188,32 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
     require(fs.rename(tmp, currentPtr), s"failed to swap $currentPtr")
     true
+  }
+
+  /** Atomic create-if-absent of `p`; None when the version is already
+    * claimed. Local schemes go through java.nio `CREATE_NEW` (O_EXCL)
+    * because RawLocalFileSystem's `create(overwrite=false)` is a
+    * non-atomic exists-check; everything else uses the filesystem's own
+    * exclusive create (atomic on HDFS). */
+  private def exclusiveCreate(p: Path): Option[java.io.OutputStream] = {
+    val raw = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    raw match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try Some(java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE))
+        catch { case _: java.nio.file.FileAlreadyExistsException => None }
+      case _ =>
+        try Some(fs.create(p, false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case _: java.io.IOException if fs.exists(p) => None
+        }
+    }
   }
 
   // ---- read path ----------------------------------------------------------
@@ -188,6 +225,22 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   private[graft] def bucketExpr(numBuckets: Int) =
     pmod(xxhash64(graft.model.Schemas.mergeKeyCanonicalTypes
       .map { case (n, t) => col(n).cast(t) }: _*), lit(numBuckets)).cast("int")
+
+  /** Refuse hash-dependent operations on a table laid out by a DIFFERENT
+    * bucket-function version than this build computes: merging with a
+    * changed hash silently strands stored rows in buckets the touched-set
+    * no longer matches (duplicate keys across buckets, stale point reads).
+    * The layout's hash version is stamped in the snapshot props at create
+    * time and updated by [[rebucket]] — the one operation that can migrate
+    * a legacy table (it rewrites every row under the current hash). Tables
+    * created before the stamp existed default to version 1 (pre-canonical-
+    * cast hashing) and must be rebucketed before any merge. */
+  private def requireBucketFn(snap: Snapshot): Unit = {
+    val stored = snap.props.getOrElse(PropBucketFn, "1")
+    require(stored == BucketFnVersion.toString,
+      s"table at $root was bucketed with hash version $stored but this build uses " +
+        s"$BucketFnVersion — run rebucket() to migrate the layout before merging")
+  }
 
   private[graft] def numBuckets: Int = snapshot().numBuckets
 
@@ -316,6 +369,26 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 
   private val MaxCommitAttempts = 5
 
+  /** Run `body` (a job containing the LWW reduce) with the
+    * ObjectHashAggregate sort-fallback threshold raised to
+    * [[SnapTable.LwwFallbackThreshold]], restoring the session value after.
+    * Scoped per-job rather than session-wide: the raised threshold removes
+    * the sort-based safety valve (each LwwBuffer pins a full UnsafeRow in
+    * an unspillable map), which is safe HERE because the reduce runs on
+    * bucket-partitioned winners — keys per task are bounded by bucket
+    * sizing (rebucket keeps buckets task-sized as the table grows) — but
+    * would be an OOM hazard for arbitrary session aggregations. */
+  private def withLwwAggConf[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, SnapTable.LwwFallbackThreshold.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Test seam: runs right before an attempt's commit (lets a test inject
     * a competing writer into the conflict window). */
   private[graft] var beforeCommitHook: () => Unit = () => ()
@@ -331,6 +404,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       tMark = now
     }
     val snap = snapshot()
+    requireBucketFn(snap)
     if (epoch <= snap.lastEpoch) return Some(MergeResult.SkippedEpoch)
 
     // 1. schema evolution (driver-side, before any executor plan binds —
@@ -367,8 +441,10 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     val winners = SnapTable.lwwWinners(unioned, reduceSchema, math.max(1, touched.size))
     val newVersion = snap.version + 1
     val commitRel = SnapTable.commitDir(newVersion)
-    SnapTable.applyDerived(winners, derived)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    withLwwAggConf(spark) {
+      SnapTable.applyDerived(winners, derived)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    }
     mark("merge-write")
 
     // 5. manifest the written files (rows counted from parquet footers).
@@ -446,6 +522,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    */
   def readKey(spark: SparkSession, convId: String, turnIdx: Long): DataFrame = {
     val snap = snapshot()
+    requireBucketFn(snap)
     val b = bucketOf(spark, convId, turnIdx, snap.numBuckets)
     val files = snap.files.filter(_.bucket == b)
     val raw = readAligned(spark, snap, files, snap.schema)
@@ -532,6 +609,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   private def mergeDeltaAttempt(batch: DataFrame, epoch: Long,
       derived: Derived): Option[MergeResult] = {
     val snap = snapshot()
+    requireBucketFn(snap)
     if (epoch <= snap.lastEpoch) return Some(MergeResult.SkippedEpoch)
     val tableSchema = snap.schema
     val target = SnapTable.withDerived(
@@ -554,8 +632,10 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 
     val newVersion = snap.version + 1
     val commitRel = SnapTable.commitDir(newVersion)
-    SnapTable.applyDerived(winners, derived)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    withLwwAggConf(batch.sparkSession) {
+      SnapTable.applyDerived(winners, derived)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    }
     val written = listBucketFiles(spark = batch.sparkSession, s"$root/$commitRel",
       commitRel, newSchemaV, kind = "delta")
     beforeCommitHook()
@@ -592,6 +672,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 
   private def compactAttempt(spark: SparkSession): Option[MergeResult] = {
     val snap = snapshot()
+    requireBucketFn(snap)
     val dirty = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
     if (dirty.isEmpty) return Some(MergeResult.SkippedEpoch)
     val (rewrite, keep) = snap.files.partition(f => dirty(f.bucket))
@@ -606,9 +687,11 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     // within each bucket file so parquet row-group min/max stats line up
     // with key ranges — point lookups (readKey) skip row groups, and
     // key-adjacent text compresses better. Ingest never pays this sort.
-    winners
-      .sortWithinPartitions((BucketCol +: Schemas.keyCols).map(col): _*)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    withLwwAggConf(spark) {
+      winners
+        .sortWithinPartitions((BucketCol +: Schemas.keyCols).map(col): _*)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    }
     val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
     beforeCommitHook()
     val committed = tryCommit(snap.copy(version = newVersion, parent = snap.version,
@@ -645,13 +728,19 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     val winners = SnapTable.lwwWinners(all, target, newBuckets)
     val newVersion = snap.version + 1
     val commitRel = SnapTable.commitDir(newVersion)
-    winners
-      .sortWithinPartitions((BucketCol +: Schemas.keyCols).map(col): _*)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    withLwwAggConf(spark) {
+      winners
+        .sortWithinPartitions((BucketCol +: Schemas.keyCols).map(col): _*)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    }
     val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
     beforeCommitHook()
+    // stamps the CURRENT hash version: rebucket rewrites every row under
+    // this build's bucketExpr, so it is the migration path for tables laid
+    // out by an older hash
     val committed = tryCommit(snap.copy(version = newVersion, parent = snap.version,
-      numBuckets = newBuckets, files = written, rows = written.map(_.rows).sum))
+      numBuckets = newBuckets, files = written, rows = written.map(_.rows).sum,
+      props = snap.props + (PropBucketFn -> BucketFnVersion.toString)))
     if (!committed) { fs.delete(new Path(root, commitRel), true); return None }
     Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, newBuckets, false))
   }
@@ -663,6 +752,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   def expireTombstones(spark: SparkSession, lsnWatermark: Long): Long = {
     compact(spark)
     val snap = snapshot()
+    requireBucketFn(snap)
     val target = snap.schema
     val all = readAligned(spark, snap, snap.files, target)
     val expired = all.filter(col("op") === "D" && col("lsn") < lsnWatermark)
@@ -688,6 +778,17 @@ final class SnapTable private (val root: String, fs: FileSystem) {
 object SnapTable {
   val BucketCol = "__bucket"
   val PropLastEpoch = "graft.lastEpoch"
+  /** Manifest property recording which bucket-hash version laid out the
+    * data files; see [[SnapTable.requireBucketFn]]. Version history:
+    * 1 = raw-typed xxhash64 (int turn_idx hashed as int);
+    * 2 = canonically-cast xxhash64 (integral keys hashed as long). */
+  val PropBucketFn = "graft.bucketFn"
+  val BucketFnVersion = 2
+  /** Per-job raised ObjectHashAggregate fallback threshold for the merge
+    * reduce (see `withLwwAggConf`): keys per task there are winners per
+    * touched bucket, kept task-sized by layout (rebucket), so removing the
+    * sort fallback up to 4M keys cannot pin unbounded memory. */
+  val LwwFallbackThreshold = 4194304
 
   /**
    * Per-key LWW winners of a frame that carries [[BucketCol]], reduced in
@@ -804,7 +905,8 @@ object SnapTable {
         .filterNot { case (n, _) => schema.fieldNames.contains(n) }
         .map { case (n, t0) => StructField(n, t0) })
     t.commit(Snapshot(0L, -1L, numBuckets, 1,
-      Map("1" -> envelope.toDDL), Seq.empty, Map.empty, 0L))
+      Map("1" -> envelope.toDDL), Seq.empty,
+      Map(PropBucketFn -> BucketFnVersion.toString), 0L))
     t
   }
 

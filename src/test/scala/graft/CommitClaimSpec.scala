@@ -1,0 +1,92 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.cdc.CdcPipeline
+import graft.model.{ChangeEvent, Schemas}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+/**
+ * The commit-claim primitive itself: the snapshot file must be claimed by
+ * an ATOMIC exclusive create, because local/POSIX rename silently
+ * overwrites an existing destination — a rename-based claim would let two
+ * racing writers both "commit" the same version (losing the first
+ * writer's manifest). These tests race the raw claim on the local FS, the
+ * exact filesystem family where rename gives no exclusivity.
+ */
+class CommitClaimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(i: Int, lsn: Long) = ChangeEvent(s"c$i", 1, "user", s"v$lsn", null,
+    new java.sql.Timestamp(1000L + lsn), lsn, "U")
+
+  test("N threads racing tryCommit on one version: exactly one claim wins") {
+    val root = tmpDir("claim")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
+    val base = t.snapshot()
+    val n = 8
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val results = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[(Int, Boolean)] {
+        def call(): (Int, Boolean) = {
+          start.await()
+          // distinct content per writer so the surviving manifest identifies
+          // its author
+          (i, t.tryCommit(base.copy(version = 1L,
+            props = base.props + ("writer" -> i.toString))))
+        }
+      })
+    }
+    start.countDown()
+    val outcomes = results.map(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    val winners = outcomes.filter(_._2)
+    assert(winners.size == 1, s"claims won: $winners")
+    // the committed manifest is whole and is the winner's
+    assert(t.snapshot(1L).props("writer") == winners.head._1.toString)
+    assert(t.currentVersion == 1L)
+  }
+
+  test("a torn ahead-of-pointer manifest is invisible to readers") {
+    val root = tmpDir("torn")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
+    CdcPipeline.applyBatch(t, (1 to 10).map(i => ev(i, 100 + i)).toDF(), 0)
+    assert(t.currentVersion == 1L)
+    // simulate a writer that claimed version 2 and died mid-write
+    Files.write(Paths.get(root, "meta", "snap-00000002.json"),
+      """{"version":2,"paren""".getBytes(StandardCharsets.UTF_8))
+    assert(t.currentVersion == 1L)
+    assert(t.read(spark).count() == 10)
+    // and a later whole commit (version 3 — 2 stays claimed by the corpse)
+    // is visible again; skipping the torn file never rolls back past it
+    t.commit(t.snapshot(1L).copy(version = 3L, parent = 1L))
+    assert(t.currentVersion == 3L)
+  }
+
+  test("merge refuses a table laid out by an older bucket-hash version") {
+    val root = tmpDir("bucketfn")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
+    CdcPipeline.applyBatch(t, (1 to 10).map(i => ev(i, 100 + i)).toDF(), 0)
+    // rewrite the manifest as if an older build (hash v1) had laid it out
+    val p = Paths.get(root, "meta", "snap-00000001.json")
+    val doctored = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .replace("\"graft.bucketFn\":\"2\"", "\"graft.bucketFn\":\"1\"")
+    Files.write(p, doctored.getBytes(StandardCharsets.UTF_8))
+    val t2 = SnapTable.load(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      t2.merge(Seq(ev(11, 201)).toDF(), epoch = 1)
+    }
+    assert(e.getMessage.contains("rebucket"))
+    intercept[IllegalArgumentException] { t2.readKey(spark, "c1", 1L) }
+    // rebucket rewrites every row under the current hash and re-stamps
+    t2.rebucket(spark, 4)
+    assert(t2.snapshot().props(SnapTable.PropBucketFn)
+      == SnapTable.BucketFnVersion.toString)
+    assert(t2.merge(Seq(ev(11, 201)).toDF(), epoch = 1)
+      .isInstanceOf[MergeResult.Committed])
+    assert(t2.read(spark).count() == 11)
+  }
+}
