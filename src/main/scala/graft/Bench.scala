@@ -6,16 +6,32 @@ import graft.model.Schemas
 import graft.table.SnapTable
 import org.apache.spark.sql.SparkSession
 
+import java.util.concurrent.TimeUnit
+import scala.collection.concurrent.TrieMap
+
 /**
- * Benchmark main. Two sections, one JSON line out:
+ * Benchmark main. Two sections, ONE JSON line out (always):
  *
- *  1. headline operator queries on SPARK_GRAFT_SF_DIR (per-query seconds);
- *  2. the north-rule metric: sustained change-events/sec applied end-to-end
+ *  1. the north-rule metric: sustained change-events/sec applied end-to-end
  *     (changelog tail -> dirty gate -> LWW dedup -> snapshot MERGE) on a
  *     deterministic transcript replay, measured at TWO parallelism levels
- *     (local[8] vs local[32] — the sandbox stand-in for N vs 4N executors)
+ *     (local[N] vs local[4N] — the sandbox stand-in for N vs 4N executors)
  *     on the SAME pre-generated input, with scaling efficiency
- *     = (thr32/thr8)/4 reported alongside.
+ *     = (thr4N/thrN)/4 reported alongside;
+ *  2. headline operator queries on SPARK_GRAFT_SF_DIR (per-query seconds).
+ *
+ * TIME-BOXED: the whole run fits a wall-clock budget
+ * (`SPARK_GRAFT_BENCH_BUDGET_S`, default 2100 s). Work is ordered by
+ * evidentiary value — changelog gen, then the 1-vs-4 criterion pair, then
+ * the wide levels, then merge-mode epochs, then queries — and every rep /
+ * level / query is budget-gated: when the host is contended (this sandbox
+ * shows sustained neighbor load that stretched one rep 20x), later work is
+ * DROPPED rather than the artifact timing out, and what ran still lands as
+ * parseable JSON with `partial:true` + a `skipped` list + per-level
+ * `contended` flags. A JVM shutdown hook emits the same JSON from
+ * whatever state exists if the process is externally terminated (e.g. a
+ * driver-side `timeout` sending SIGTERM), so even a killed run leaves a
+ * parseable artifact instead of rc=124 with nothing.
  */
 object Bench {
 
@@ -46,6 +62,8 @@ object Bench {
       case "raw" => PipelineOptions()
       case "cow-epochs" => PipelineOptions(enrich = true, mergeMode = "cow")
       case "mor-epochs" => PipelineOptions(enrich = true, mergeMode = "mor")
+      case other => throw new IllegalArgumentException(
+        s"mode '$other' (expected enriched|raw|cow-epochs|mor-epochs)")
     }
     if (!sys.env.contains("GRAFT_BENCH_NO_WARMUP")) {
       // warmup: JIT + codegen over one chunk, separate table
@@ -78,9 +96,12 @@ object Bench {
    * any sequence was consistently 3-4x slower than the same run isolated),
    * so each parallelism level gets its own process — which is also the
    * honest analogue of separate cluster deployments at N and 4N executors.
+   * The child is hard-limited to `timeoutMs` (None on kill/garbage) so one
+   * contended rep can never eat the whole artifact's budget.
    */
-  private def cdcRun(cores: Int, logDir: String, mode: String): (Long, Double) = {
-    val java = s"${System.getProperty("java.home")}/bin/java"
+  private def cdcRun(cores: Int, logDir: String, mode: String,
+      timeoutMs: Long): Option[(Long, Double)] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
       "java.base/java.io", "java.base/java.net", "java.base/java.nio",
@@ -88,21 +109,111 @@ object Bench {
       "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
       "java.base/sun.nio.cs", "java.base/sun.security.action",
       "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(java, s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+    val cmd = Seq(javaBin, s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
       "-Dspark.ui.enabled=false") ++ addOpens ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "cdc-child", cores.toString, logDir, mode)
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-    proc.waitFor()
-    out.find(_.startsWith("CDCRESULT")) match {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() =>
+      try scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .foreach(lines.add)
+      catch { case _: java.io.IOException => () })
+    reader.setDaemon(true)
+    reader.start()
+    val finished = proc.waitFor(math.max(1000L, timeoutMs), TimeUnit.MILLISECONDS)
+    if (!finished) {
+      proc.destroyForcibly()
+      proc.waitFor()
+      System.err.println(
+        s"[bench] local[$cores] $mode child killed at ${timeoutMs / 1000}s budget slice")
+      return None
+    }
+    reader.join(5000)
+    import scala.jdk.CollectionConverters._
+    lines.asScala.find(_.startsWith("CDCRESULT")) match {
       case Some(line) =>
         val parts = line.split(" ")
-        (parts(1).toLong, parts(2).toDouble)
+        Some((parts(1).toLong, parts(2).toDouble))
       case None =>
-        throw new RuntimeException(s"child bench failed:\n${out.takeRight(30).mkString("\n")}")
+        System.err.println("[bench] child produced no CDCRESULT:\n" +
+          lines.asScala.toList.takeRight(20).mkString("\n"))
+        None
     }
   }
+
+  // ---- incrementally-built result state (readable from a shutdown hook) ---
+
+  private final case class Level(events: Long, repSecs: Seq[Double]) {
+    def bestSec: Double = repSecs.min
+    def contended: Boolean = repSecs.max / repSecs.min > 3.0
+  }
+  private val enriched = TrieMap[Int, Level]()
+  private val raw = TrieMap[Int, Level]()
+  private val cowEpochs = TrieMap[Int, Level]()
+  private val morEpochs = TrieMap[Int, Level]()
+  @volatile private var queryResults: Seq[(String, Double)] = Nil
+  @volatile private var genSec = 0.0
+  @volatile private var sfDirUsed = ""
+  @volatile private var budgetS = 0L
+  private val skipped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile private var emitted = false
+
+  private def thr(l: Level): Double = l.events / l.bestSec
+
+  private def buildJson(partial: Boolean): String = {
+    def runsJson(m: TrieMap[Int, Level]): String =
+      m.toSeq.sortBy(_._1).map { case (c, l) =>
+        val reps = l.repSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
+        f""""local$c":{"sec":${l.bestSec}%.2f,"events_per_sec":${thr(l)}%.0f,""" +
+          s""""rep_secs":$reps,"contended":${l.contended}}"""
+      }.mkString("{", ",", "}")
+    def eff(a: Int, b: Int): String =
+      (enriched.get(a), enriched.get(b)) match {
+        case (Some(la), Some(lb)) => f"${(thr(lb) / thr(la)) / (b.toDouble / a)}%.3f"
+        case _ => "null"
+      }
+    val qs = queryResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = queryResults.map(_._2).sum
+    val events = enriched.values.headOption.map(_.events).getOrElse(0L)
+    val headlineThr = enriched.values.map(thr).maxOption.getOrElse(0.0)
+    import scala.jdk.CollectionConverters._
+    val skippedJson = skipped.asScala.toSeq.distinct
+      .map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val cdc = f"""{"events":$events,"gen_sec":$genSec%.2f,""" +
+      s""""enriched":${runsJson(enriched)},"raw":${runsJson(raw)},""" +
+      s""""cow_epochs":${runsJson(cowEpochs)},"mor_epochs":${runsJson(morEpochs)},""" +
+      s""""scaling_efficiency_N_to_4N_(1_to_4)":${eff(1, 4)},""" +
+      s""""scaling_efficiency_8_to_32":${eff(8, 32)}}"""
+    f"""{"metric":"cdc_enriched_events_per_sec_peak","value":$headlineThr%.0f,""" +
+      f""""unit":"events/sec","total_query_sec":$total%.2f,"queries":$qs,""" +
+      s""""cdc":$cdc,"sf":"$sfDirUsed","budget_s":$budgetS,"partial":$partial,""" +
+      s""""skipped":$skippedJson}"""
+  }
+
+  /** Print the artifact exactly once — normally at the end of main, or from
+    * the shutdown hook when the process is terminated mid-run. */
+  private def emit(partial: Boolean): Unit = synchronized {
+    if (!emitted) {
+      emitted = true
+      println(buildJson(partial))
+      System.out.flush()
+    }
+  }
+
+  /** Persist the current state as a SIDECAR file after every completed rep
+    * and query. Stdout dies with the harness (a driver-side `timeout`
+    * killing sbt takes the forked JVM's pipe with it — shutdown hooks
+    * can't help); a file written as results accrue survives even SIGKILL,
+    * so the freshest parseable artifact always exists on disk. */
+  private def persistSnapshot(): Unit =
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT", "bench-latest.json"))
+      java.nio.file.Files.write(p,
+        (buildJson(partial = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "cdc-child") {
@@ -110,35 +221,22 @@ object Bench {
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDirUsed = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 20M events: the merge got 1.5x faster per event (no-sort reduce), so
-    // the fixed per-run floor (driver planning, accounting barrier, commit;
-    // ~6s measured) would otherwise dominate a third of a 4-core leg and
-    // understate scaling — a longer replay is also simply closer to the
-    // north rule's SUSTAINED-throughput framing
+    budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2100").toLong
+    val deadline = System.nanoTime() + budgetS * 1_000_000_000L
+    def remainingS: Double = (deadline - System.nanoTime()) / 1e9
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
+
+    // 20M events: the merge's fixed per-run floor (driver planning,
+    // accounting barrier, commit; ~6s measured) would otherwise dominate a
+    // third of a 4-core leg and understate scaling — a longer replay is
+    // also simply closer to the north rule's SUSTAINED-throughput framing
     val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS",
       if (sfDir.contains("0.1")) "20000000" else "200000").toLong
 
-    // ---- section 1: headline queries (two passes, report the min — pass 1
-    // absorbs JIT/codegen warmup and environment noise) ---------------------
-    var spark = newSession(cpus)
-    val queries = SparkEntry.queries
-    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
-    def queryPass() = headline.filter(queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      try queries(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
-      (name, (System.nanoTime() - t0) / 1e9)
-    }
-    val results =
-      if (skipQueries) Seq.empty
-      else {
-        val p1 = queryPass().toMap
-        queryPass().map { case (n, t) => (n, math.min(t, p1(n))) }
-      }
-
-    // ---- section 2: CDC throughput at two parallelism levels --------------
-    // The changelog is deterministic, so it is cached across bench runs.
-    val (logDir, genSec) = sys.env.get("SPARK_GRAFT_BENCH_LOG") match {
+    // ---- changelog (deterministic -> cached across bench runs) ------------
+    val (logDir, gSec) = sys.env.get("SPARK_GRAFT_BENCH_LOG") match {
       case Some(existing) => (existing, 0.0)
       case None =>
         val dir = s"/tmp/graft-benchlog-e$benchEvents/log"
@@ -147,83 +245,123 @@ object Bench {
         else {
           val cfg = GenConfig(numEvents = benchEvents,
             numConvs = (benchEvents / 500).toInt.max(100), chunks = 8)
+          val s = newSession(cpus)
           val tGen0 = System.nanoTime()
-          ChangeStreamGen.writeChangelog(spark, cfg, dir)
+          ChangeStreamGen.writeChangelog(s, cfg, dir)
           java.nio.file.Files.createFile(marker)
+          s.stop()
           (dir, (System.nanoTime() - tGen0) / 1e9)
         }
     }
-    spark.stop()
+    genSec = gSec
 
+    // ---- section 1: CDC throughput, budget-gated, criterion first --------
     // Matrix: enriched ingest (per-event quality/lang/token enrichment +
     // LWW merge — the training-data ingest shape). N-vs-4N scaling evidence
     // = local[1] vs local[4]: within the box's memory-bandwidth envelope the
-    // pipeline scales at ~0.94 efficiency; beyond ~8 threads a single box
+    // pipeline scales at ~0.9 efficiency; beyond ~8 threads a single box
     // saturates shared bandwidth (a real 4N-executor cluster adds bandwidth
-    // linearly, so the 8->32 local ratio UNDERSTATES cluster scaling — the
-    // pure-CPU ceiling of this box is itself 0.82 at 8->32). Raw merge (no
-    // enrichment) reported for reference.
-    // The sandbox host shows real CPU-steal spikes (noisy neighbor): EVERY
-    // level runs best-of-REPS (default 2) with per-rep seconds printed and
-    // recorded, and a rep spread > 3x flags the level as contended — a noisy
-    // official run is self-evident instead of silently recorded.
+    // linearly, so the 8->32 local ratio UNDERSTATES cluster scaling). Raw
+    // merge (no enrichment) and the CoW-vs-MoR epoch comparison are
+    // reported when budget remains. The sandbox host shows real CPU-steal
+    // spikes: every level runs best-of-REPS with per-rep seconds recorded,
+    // and a rep spread > 3x flags the level `contended`.
     val coresList = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "1,4,8,32")
       .split(",").map(_.trim.toInt).toSeq
     val repsPerLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    final case class Level(events: Long, bestSec: Double, repSecs: Seq[Double]) {
-      def contended: Boolean = repSecs.max / repSecs.min > 3.0
-    }
-    def measure(c: Int, mode: String, reps: Int): Level = {
-      val runs = (1 to reps).map { i =>
-        val r = cdcRun(c, logDir, mode)
-        System.err.println(f"[bench] local[$c] $mode rep$i: ${r._2}%.2fs " +
-          f"(${r._1 / r._2}%.0f ev/s)")
-        r
+
+    /** Run up to `maxReps` reps of one level, stopping early when the
+      * budget would be blown; each rep's child gets the remaining budget as
+      * a hard timeout. Results accrue into `into` after EVERY rep so a
+      * subsequent kill still reports the level. */
+    def measure(c: Int, mode: String, maxReps: Int,
+        into: TrieMap[Int, Level]): Unit = {
+      var reps = Vector.empty[Double]
+      var events = 0L
+      var rep = 1
+      var stop = false
+      while (rep <= maxReps && !stop) {
+        val rem = remainingS
+        // don't start a rep that can't fit: first rep gets a chance while
+        // >60s remain; later reps only if the best observed rep fits twice
+        val fits =
+          if (reps.isEmpty) rem > 60
+          else rem > reps.min * 2
+        if (!fits) {
+          skipped.add(s"$mode-local$c-rep$rep+")
+          stop = true
+        } else {
+          cdcRun(c, logDir, mode, (rem * 1000).toLong) match {
+            case Some((ev, sec)) =>
+              events = ev
+              reps :+= sec
+              System.err.println(f"[bench] local[$c] $mode rep$rep: $sec%.2fs " +
+                f"(${ev / sec}%.0f ev/s)")
+              into.put(c, Level(events, reps))
+              persistSnapshot()
+            case None =>
+              skipped.add(s"$mode-local$c-rep$rep-killed")
+              stop = true
+          }
+          rep += 1
+        }
       }
-      val lv = Level(runs.head._1, runs.map(_._2).min, runs.map(_._2))
-      if (lv.contended) System.err.println(
-        f"[bench] WARNING local[$c] rep spread ${lv.repSecs.max / lv.repSecs.min}%.1fx " +
-          "> 3x — host contention, treat this level's numbers as unreliable")
-      lv
+      into.get(c).filter(_.contended).foreach { lv =>
+        System.err.println(
+          f"[bench] WARNING local[$c] rep spread ${lv.repSecs.max / lv.repSecs.min}%.1fx " +
+            "> 3x — host contention, treat this level's numbers as unreliable")
+      }
     }
-    // the 1->4 pair IS the north-rule criterion: give it an extra rep so a
-    // single noisy run cannot push the ratio across the 0.8 line either way
-    val enriched = coresList.map(c => c -> measure(c, "enriched",
-      if (c == 1 || c == 4) math.max(repsPerLevel, 3) else repsPerLevel)).toMap
-    val raw = Seq(8).filter(coresList.contains)
-      .map(c => c -> measure(c, "raw", 1)).toMap
-    // steady-state merge-mode comparison at one level: CoW (rewrite touched
-    // buckets per epoch) vs MoR (O(batch) delta commits + policy compaction)
-    val epochLevels = Seq(8).filter(coresList.contains)
-    val cowEpochs = epochLevels.map(c => c -> measure(c, "cow-epochs", 1)).toMap
-    val morEpochs = epochLevels.map(c => c -> measure(c, "mor-epochs", 1)).toMap
 
-    def thr(l: Level): Double = l.events / l.bestSec
-    def eff(a: Int, b: Int): Double =
-      if (enriched.contains(a) && enriched.contains(b))
-        (thr(enriched(b)) / thr(enriched(a))) / (b.toDouble / a)
-      else Double.NaN
-    val eff1to4 = eff(1, 4)
-    val eff8to32 = eff(8, 32)
+    // the 1->4 pair IS the north-rule criterion: it runs FIRST and gets an
+    // extra rep so a single noisy run cannot push the ratio across the 0.8
+    // line either way
+    val criterionReps = math.max(repsPerLevel, 3)
+    Seq(1, 4).filter(coresList.contains).foreach(c =>
+      measure(c, "enriched", criterionReps, enriched))
+    coresList.filterNot(Seq(1, 4).contains).foreach(c =>
+      measure(c, "enriched", repsPerLevel, enriched))
+    // secondary evidence, budget permitting
+    Seq(8).filter(coresList.contains).foreach { c =>
+      measure(c, "raw", 1, raw)
+      measure(c, "cow-epochs", 1, cowEpochs)
+      measure(c, "mor-epochs", 1, morEpochs)
+    }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def runsJson(m: Map[Int, Level]): String =
-      m.toSeq.sortBy(_._1).map { case (c, l) =>
-        val reps = l.repSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
-        f""""local$c":{"sec":${l.bestSec}%.2f,"events_per_sec":${thr(l)}%.0f,""" +
-          s""""rep_secs":$reps,"contended":${l.contended}}"""
-      }.mkString("{", ",", "}")
-    val events = enriched.values.headOption.map(_.events).getOrElse(0L)
-    val headlineThr = enriched.values.map(thr).maxOption.getOrElse(0.0)
-    def effStr(x: Double): String = if (x.isNaN) "null" else f"$x%.3f"
-    val cdc = f"""{"events":$events,"gen_sec":$genSec%.2f,""" +
-      s""""enriched":${runsJson(enriched)},"raw":${runsJson(raw)},""" +
-      s""""cow_epochs":${runsJson(cowEpochs)},"mor_epochs":${runsJson(morEpochs)},""" +
-      s""""scaling_efficiency_N_to_4N_(1_to_4)":${effStr(eff1to4)},""" +
-      s""""scaling_efficiency_8_to_32":${effStr(eff8to32)}}"""
-    println(f"""{"metric":"cdc_enriched_events_per_sec_peak","value":$headlineThr%.0f,""" +
-      f""""unit":"events/sec","total_query_sec":$total%.2f,"queries":$qs,""" +
-      s""""cdc":$cdc,"sf":"$sfDir"}""")
+    // ---- section 2: headline queries (budget permitting; two passes,
+    // report the min — pass 1 absorbs JIT/codegen warmup) -------------------
+    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+    if (!skipQueries && remainingS > 120) {
+      val spark = newSession(cpus)
+      val queries = SparkEntry.queries
+      def queryPass(): Seq[(String, Double)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+        val it = headline.filter(queries.contains).iterator
+        var over = false
+        while (it.hasNext && !over) {
+          val name = it.next()
+          if (remainingS < 30) { skipped.add(s"query-$name+"); over = true }
+          else {
+            val t0 = System.nanoTime()
+            try queries(name)(spark, sfDir).count()
+            catch { case _: Throwable => () }
+            out += ((name, (System.nanoTime() - t0) / 1e9))
+            queryResults = out.toSeq // incremental: a kill keeps pass-1 times
+            persistSnapshot()
+          }
+        }
+        out.toSeq
+      }
+      val p1 = queryPass().toMap
+      if (remainingS > p1.values.sum * 1.5) {
+        queryResults = queryPass().map { case (n, t) =>
+          (n, math.min(t, p1.getOrElse(n, t)))
+        }
+      } else if (p1.nonEmpty) skipped.add("query-pass2")
+      spark.stop()
+    } else if (!skipQueries) skipped.add("queries")
+
+    persistSnapshot()
+    emit(partial = !skipped.isEmpty)
   }
 }

@@ -56,7 +56,7 @@ object Main {
       case "ingest" =>
         val tableDir = opts("table")
         val table =
-          if (new java.io.File(s"$tableDir/meta").exists) SnapTable.load(spark, tableDir)
+          if (SnapTable.exists(spark, tableDir)) SnapTable.load(spark, tableDir)
           else SnapTable.create(spark, tableDir, Schemas.payloadV1,
             numBuckets = opts.getOrElse("buckets", "32").toInt)
         val pOpts = PipelineOptions(
@@ -96,7 +96,7 @@ object Main {
         val source = SnapTable.load(spark, opts("source"))
         val destDir = opts("dest")
         val dest =
-          if (new java.io.File(s"$destDir/meta").exists) SnapTable.load(spark, destDir)
+          if (SnapTable.exists(spark, destDir)) SnapTable.load(spark, destDir)
           else SnapTable.create(spark, destDir, Schemas.payloadV1,
             numBuckets = opts.getOrElse("buckets", "32").toInt)
         val r = graft.cdc.Sync.sync(spark, source, dest,

@@ -231,42 +231,123 @@ object Job {
 
   // ---- writers -------------------------------------------------------------
 
-  /** Returns rows written. */
-  private def write(df: DataFrame, p: PluginSpec): Long = p.name.toLowerCase match {
-    case "streamwriter" =>
-      val doPrint = (p.parameter \ "print").extractOpt[Boolean].getOrElse(false)
-      if (doPrint) df.show(20, truncate = 40)
-      df.count()
-    case "txtfilewriter" | "csvwriter" =>
+  /** Execute ONE sink action over `df` (possibly a chunk slice). Returns
+    * Some(rows) only when the sink itself has a better row count than the
+    * input (snaptablewriter reports rowsApplied = LWW winners); None means
+    * the caller takes the count from its Observation on the frame — sinks
+    * never re-count, because a writer-side `df.count()` re-executed the
+    * whole read->transform pipeline (a lane now reads its source once).
+    * `chunk` > 0 forces append semantics (the first chunk consumed the
+    * configured truncate/nonConflict mode). */
+  private def write(df: DataFrame, p: PluginSpec, chunk: Int, epochBase: Long): Option[Long] = {
+    def chunkedMode(m: String): String = if (chunk == 0) m else "append"
+    p.name.toLowerCase match {
+      case "streamwriter" =>
+        // the full pass (the lane's terminal action) must run BEFORE the
+        // bounded show: a LIMIT-ed query would resolve the lane's
+        // observations with partial counts
+        df.foreach(_ => ())
+        if ((p.parameter \ "print").extractOpt[Boolean].getOrElse(false))
+          df.show(20, truncate = 40)
+        None
+      case "txtfilewriter" | "csvwriter" =>
+        val path = (p.parameter \ "path").extract[String]
+        TypedFileSink.writeCsv(df, path, TypedFileSink.WriteConfig(
+          fieldDelimiter = (p.parameter \ "fieldDelimiter").extractOpt[String].getOrElse(","),
+          writeMode = chunkedMode(
+            (p.parameter \ "writeMode").extractOpt[String].getOrElse("append"))))
+        None
+      case "parquetwriter" =>
+        val path = (p.parameter \ "path").extract[String]
+        val mode = chunkedMode(
+          (p.parameter \ "writeMode").extractOpt[String].getOrElse("append")) match {
+          case "append" => "append"
+          case "nonConflict" => "errorifexists"
+          case "truncate" => "overwrite"
+          case other => throw new IllegalArgumentException(
+            s"writeMode '$other' (expected append|nonConflict|truncate)")
+        }
+        df.write.mode(mode).parquet(path)
+        None
+      case "orcwriter" =>
+        val path = (p.parameter \ "path").extract[String]
+        TypedFileSink.writeOrc(df, path, TypedFileSink.WriteConfig(
+          writeMode = chunkedMode(
+            (p.parameter \ "writeMode").extractOpt[String].getOrElse("append"))))
+        None
+      case "snaptablewriter" =>
+        val path = (p.parameter \ "path").extract[String]
+        val spark = df.sparkSession
+        val table =
+          if (SnapTable.exists(spark, path)) SnapTable.load(spark, path)
+          else SnapTable.create(spark, path, Schemas.payloadV2,
+            (p.parameter \ "buckets").extractOpt[Int].getOrElse(32))
+        val rec = CdcPipeline.applyBatch(table, df, epoch = epochBase + chunk)
+        Some(rec.rowsApplied)
+      case other => throw new IllegalArgumentException(s"unknown writer '$other'")
+    }
+  }
+
+  /** Epoch base for a snaptablewriter lane (chunk i commits epochBase+i). */
+  private def epochBase(spark: SparkSession, p: PluginSpec): Long =
+    if (p.name.equalsIgnoreCase("snaptablewriter")) {
       val path = (p.parameter \ "path").extract[String]
-      TypedFileSink.writeCsv(df, path, TypedFileSink.WriteConfig(
-        fieldDelimiter = (p.parameter \ "fieldDelimiter").extractOpt[String].getOrElse(","),
-        writeMode = (p.parameter \ "writeMode").extractOpt[String].getOrElse("append")))
-      df.count()
-    case "parquetwriter" =>
-      val path = (p.parameter \ "path").extract[String]
-      val mode = (p.parameter \ "writeMode").extractOpt[String].getOrElse("append") match {
-        case "append" => "append"
-        case "nonConflict" => "errorifexists"
-        case "truncate" => "overwrite"
-      }
-      df.write.mode(mode).parquet(path)
-      df.count()
-    case "orcwriter" =>
-      val path = (p.parameter \ "path").extract[String]
-      TypedFileSink.writeOrc(df, path, TypedFileSink.WriteConfig(
-        writeMode = (p.parameter \ "writeMode").extractOpt[String].getOrElse("append")))
-      df.count()
-    case "snaptablewriter" =>
-      val path = (p.parameter \ "path").extract[String]
-      val spark = df.sparkSession
-      val table =
-        if (new java.io.File(s"$path/meta").exists) SnapTable.load(spark, path)
-        else SnapTable.create(spark, path, Schemas.payloadV2,
-          (p.parameter \ "buckets").extractOpt[Int].getOrElse(32))
-      val rec = CdcPipeline.applyBatch(table, df, epoch = table.committedEpoch + 1)
-      rec.rowsApplied
-    case other => throw new IllegalArgumentException(s"unknown writer '$other'")
+      if (SnapTable.exists(spark, path))
+        SnapTable.load(spark, path).committedEpoch + 1
+      else 0L
+    } else 0L
+
+  // ---- speed caps (batch lanes) --------------------------------------------
+
+  /** Per-partition ordinal from monotonically_increasing_id's layout
+    * (partitionId << 33 | ordinal) — stable across re-scans of a
+    * deterministic source, no shuffle, no window. */
+  private def partitionOrdinal: org.apache.spark.sql.Column =
+    monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+
+  /** Resolve `job.setting.speed.record/byte` to a record cap. The byte cap
+    * converts through a sampled average row width (a bounded `limit` probe,
+    * not a full scan) — batch lanes slice statically, the streaming path
+    * has the exact byte budget (maxBytesPerTrigger). `probe` must be an
+    * UNOBSERVED plan: a LIMIT action over the lane's Observation node would
+    * resolve it with a partial count. */
+  private def recordCap(speed: Speed, probe: => DataFrame): Option[Long] =
+    speed.record.orElse(speed.byte.map { b =>
+      val df = probe
+      val row = df.limit(256)
+        .select(avg(length(to_json(struct(df.columns.map(col): _*)))).as("w"))
+        .head()
+      val rowBytes = if (row.isNullAt(0)) 64.0 else math.max(1.0, row.getDouble(0))
+      math.max(1L, (b / rowBytes).toLong)
+    })
+
+  /**
+   * Slice a lane into chunks of at most ~`cap` rows (reference throttles
+   * bps/tps per channel on the fly, core/.../transport/channel/
+   * Channel.java:176-239; a Spark batch lane instead commits bounded
+   * chunks — for the snapshot-table writer each chunk is its own epoch).
+   * Each chunk re-scans the source: bounded commit size traded for
+   * re-read, the same trade the reference makes when a throttled channel
+   * stalls its reader. Returns the slice frames (1 frame when no slicing
+   * is needed).
+   */
+  private def chunked(df: DataFrame, cap: Long): Seq[DataFrame] = {
+    // one counting pass -> cumulative per-partition offsets, so the global
+    // row index (offset(pid) + ordinal) is contiguous and slicing yields
+    // EXACTLY ceil(rows/cap) chunks of at most cap rows even when source
+    // partitions are unbalanced
+    val counts = df.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (total <= cap) return Seq(df)
+    var acc = 0L
+    val offsets = counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
+    val offsetOf = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val chunkIdx = floor((element_at(offsetOf, spark_partition_id()) + partitionOrdinal)
+      / cap).cast("int")
+    val tagged = df.withColumn("__chunk", chunkIdx)
+    val n = ((total + cap - 1) / cap).toInt
+    (0 until n).map(i => tagged.filter(col("__chunk") === i).drop("__chunk"))
   }
 
   // ---- preCheck / secrets --------------------------------------------------
@@ -321,9 +402,12 @@ object Job {
         case "txtfilewriter" | "csvwriter" | "parquetwriter" | "orcwriter" =>
           val path = (wp \ "path").extractOpt[String]
           if (path.isEmpty) problems += s"${tag}writer: missing path"
-          else if ((wp \ "writeMode").extractOpt[String].contains("nonConflict")
-            && new java.io.File(path.get).exists)
-            problems += s"${tag}writer: nonConflict target ${path.get} already exists"
+          else if ((wp \ "writeMode").extractOpt[String].contains("nonConflict") && {
+            // the target's own Hadoop FS, not java.io.File (non-file://
+            // schemes would silently pass the preCheck)
+            val hp = new org.apache.hadoop.fs.Path(path.get)
+            hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+          }) problems += s"${tag}writer: nonConflict target ${path.get} already exists"
         case "snaptablewriter" =>
           if ((wp \ "path").extractOpt[String].isEmpty) problems += s"${tag}writer: missing path"
         case "streamwriter" => ()
@@ -351,6 +435,13 @@ object Job {
    * Run a job spec end-to-end: read -> dirty gate (requiredColumns +
    * errorLimit) -> transformer chain -> channel repartition -> write, with
    * the reference's state transitions and post-job hooks.
+   *
+   * Row accounting is SINGLE-PASS: `rowsRead`/`rowsWritten` come from
+   * `Observation` (CollectMetrics) nodes planted in the lane's plan and
+   * resolved by the sink's own action — no separate `count()` jobs
+   * re-executing the read->transform pipeline. A lane without a dirty gate
+   * or speed cap therefore scans its source exactly once (JobSpec pins
+   * this by counting SQL executions).
    */
   def run(spark: SparkSession, json: String,
       hooks: Seq[Report => Unit] = Nil): Report = {
@@ -362,9 +453,10 @@ object Job {
       states += Running
       val channels = spec.settings.speed.channel.getOrElse(1)
       var (rowsRead, rowsWritten, rowsDirty) = (0L, 0L, 0L)
-      for (content <- spec.contents) {
+      for ((content, ci) <- spec.contents.zipWithIndex) {
+        val readObs = org.apache.spark.sql.Observation(s"graft-read-$ci")
         val raw = read(spark, content.reader, channels)
-        rowsRead += raw.count()
+          .observe(readObs, count(lit(1)).as("rows"))
         // dirty gate: requiredColumns null checks, reference errorLimit
         val required = (content.reader.parameter \ "requiredColumns") match {
           case JArray(cs) => cs.map(_.extract[String])
@@ -382,7 +474,22 @@ object Job {
         val transformed = DataXTransforms.applyChain(clean,
           content.transformers.map(toTransformAny(clean, _)))
         val sized = if (channels > 1) transformed.repartition(channels) else transformed
-        rowsWritten += write(sized, content.writer)
+        // byte->record width sampling probes a FRESH read plan (no
+        // Observation node) so the bounded probe can't leak a partial count
+        // into the lane's accounting
+        val slices = recordCap(spec.settings.speed,
+          read(spark, content.reader, channels)) match {
+          case Some(cap) => chunked(sized, cap)
+          case None => Seq(sized)
+        }
+        val base = epochBase(spark, content.writer)
+        for ((slice, chunk) <- slices.zipWithIndex) {
+          val writeObs = org.apache.spark.sql.Observation(s"graft-write-$ci-$chunk")
+          val observed = slice.observe(writeObs, count(lit(1)).as("rows"))
+          rowsWritten += write(observed, content.writer, chunk, base)
+            .getOrElse(writeObs.get("rows").asInstanceOf[Long])
+        }
+        rowsRead += readObs.get("rows").asInstanceOf[Long]
       }
       states += Succeeded
       finish(Report(states.toSeq, rowsRead, rowsWritten, rowsDirty,

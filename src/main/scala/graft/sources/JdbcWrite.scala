@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.util.LongAccumulator
 
 import java.sql.{Connection, PreparedStatement, SQLException}
 
@@ -117,34 +116,45 @@ object JdbcWrite {
   }
 
   /**
-   * Distributed write: `foreachPartition` opening one connection per
-   * partition via `connect`. Returns (written, dirty) totals via
-   * accumulators. `connect` must be serializable-safe (a function creating
-   * the connection ON THE EXECUTOR — driver connections never serialize).
+   * Distributed write: one connection per partition via `connect`. Returns
+   * (written, dirty) totals. `connect` must be serializable-safe (a
+   * function creating the connection ON THE EXECUTOR — driver connections
+   * never serialize).
+   *
+   * Delivery semantics are AT-LEAST-ONCE, exactly like the reference's
+   * channel replay after a task failover: a Spark task retry or speculative
+   * duplicate re-runs its whole partition's side-effecting writes. Under
+   * `Insert` mode the re-applied rows surface as key violations (routed to
+   * dirty by the row-by-row replay); `Replace`/`Update` upserts are
+   * retry-IDEMPOTENT and are the modes to use when the target has a
+   * primary key. Exactly-once needs a transactional target with an epoch
+   * guard — that is the snapshot table's MERGE path, not raw JDBC. The
+   * returned totals are deterministic under retries: each partition's
+   * (written, dirty) counts come back through a `collect` (a retried task's
+   * result REPLACES its predecessor's), not through accumulators (which
+   * double-count every re-run). Callers on clusters with speculation
+   * enabled should disable it for Insert-mode jobs
+   * (`spark.speculation=false`) — a speculative duplicate racing the
+   * original is the one case where even upsert modes can interleave.
    */
   def write(df: DataFrame, connect: () => Connection, mode: WriteMode, table: String,
       batchSize: Int = 2048, preSql: Seq[String] = Nil, postSql: Seq[String] = Nil): (Long, Long) = {
     val cols = df.columns.toSeq
     val sql = template(mode, table, cols)
-    val sc = df.sparkSession.sparkContext
-    val writtenAcc: LongAccumulator = sc.longAccumulator("jdbc_written")
-    val dirtyAcc: LongAccumulator = sc.longAccumulator("jdbc_dirty")
     // pre/postSql run ONCE per job on a driver-side connection, around the
     // distributed writes (reference: WriterUtil.executeSqls — e.g. a
     // truncate/DELETE before load, an index rebuild or audit insert after)
     if (preSql.nonEmpty) runSqls(connect, preSql)
-    df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
+    val results = df.rdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
         val conn = connect()
-        try {
-          val res = writePartition(conn, sql, rows, batchSize)
-          writtenAcc.add(res.written)
-          dirtyAcc.add(res.dirty)
-        } finally conn.close()
+        val res = try writePartition(conn, sql, rows, batchSize) finally conn.close()
+        Iterator.single((res.written, res.dirty))
       }
-    }
+    }.collect()
     if (postSql.nonEmpty) runSqls(connect, postSql)
-    (writtenAcc.value, dirtyAcc.value)
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 
   /** Execute statements sequentially on one fresh connection. */

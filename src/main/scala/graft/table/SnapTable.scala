@@ -912,4 +912,12 @@ object SnapTable {
 
   def load(spark: SparkSession, root: String): SnapTable =
     new SnapTable(root, filesystem(root, spark))
+
+  /** Whether a table exists at `root`, checked through the root's OWN
+    * Hadoop filesystem — `java.io.File` probes only work on `file://`
+    * paths and would silently report "absent" for any other scheme,
+    * sending callers down the create path over live data. */
+  def exists(spark: SparkSession, root: String): Boolean =
+    filesystem(root, spark).exists(
+      new Path(new Path(root, "meta"), "snap-00000000.json"))
 }

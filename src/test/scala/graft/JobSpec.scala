@@ -226,4 +226,79 @@ class JobSpec extends SparkSpec {
     assert(report.states.last == Job.Failed)
     assert(report.error.exists(_.contains("errorLimit")))
   }
+
+  test("single-pass accounting: a gate-free lane scans its source once") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val src = tmpDir("onceread")
+    val out = tmpDir("oncewrite")
+    (1 to 500).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$src/data")
+    // count SQL executions whose physical plan touches THIS lane's source
+    // path — immune to concurrent suites sharing the session
+    val seen = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onOtherEvent(e: SparkListenerEvent): Unit = e match {
+        case s: SparkListenerSQLExecutionStart
+            if s.physicalPlanDescription.contains(src) => seen.incrementAndGet(): Unit
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val json =
+        s"""{"job": {
+           |  "setting": {},
+           |  "content": [{
+           |    "reader": {"name": "parquetreader", "parameter": {"path": "$src/data"}},
+           |    "writer": {"name": "parquetwriter", "parameter": {"path": "$out/data"}}}]}}
+           |""".stripMargin
+      val report = Job.run(spark, json)
+      assert(report.error.isEmpty, report.error)
+      assert(report.rowsRead == 500 && report.rowsWritten == 500)
+      // listener delivery is async: poll until the count is stable
+      var stable = 0
+      var last = -1
+      while (stable < 5) {
+        Thread.sleep(200)
+        val now = seen.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(seen.get() == 1,
+        s"expected ONE source-scanning SQL execution (the sink's), saw ${seen.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("speed.record cap slices the lane into bounded epoch commits") {
+    import graft.gen.{ChangeStreamGen, GenConfig}
+    val log = tmpDir("caplog")
+    val table = s"${tmpDir("captable")}/t"
+    val cfg = GenConfig(numEvents = 1000, numConvs = 50, chunks = 1)
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val json =
+      s"""{"job": {
+         |  "setting": {"speed": {"record": 250}, "errorLimit": {"percentage": 0.02}},
+         |  "content": [{
+         |    "reader": {"name": "changelogreader", "parameter": {"path": "$log"}},
+         |    "writer": {"name": "snaptablewriter", "parameter": {
+         |      "path": "$table", "buckets": 8}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    val t = SnapTable.load(spark, table)
+    // exactly ceil(rows / cap) bounded commits, each its own epoch (the
+    // changelog carries duplicate-delivery rows on top of the 1000 events)
+    val epochs = (report.rowsRead + 249) / 250
+    assert(epochs >= 4, s"cap not exercised: rowsRead=${report.rowsRead}")
+    assert(t.committedEpoch == epochs - 1,
+      s"epoch=${t.committedEpoch} rowsRead=${report.rowsRead}")
+    assert(t.history == (0L to epochs))
+    // final state is identical to an uncapped replay
+    val expected = graft.oracle.OracleReducer.reduce(
+      ChangeStreamGen.events(spark, cfg).drop("pos")
+        .as[graft.model.ChangeEvent].collect().toSeq)
+    val got = t.read(spark).select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expected.map(e => (e.conv_id, e.turn_idx, e.text)))
+  }
 }
