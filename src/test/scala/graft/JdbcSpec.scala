@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{JdbcSplit, JdbcWrite}
+import graft.sources.{JdbcDialect, JdbcSplit, JdbcWrite}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.{Connection, DriverManager}
@@ -113,6 +113,58 @@ class JdbcSpec extends SparkSpec {
     assert(JdbcWrite.parseMode("REPLACE") == JdbcWrite.Replace)
   }
 
+  // ---- dialect layer (generated SQL/properties, DB-free) -------------------
+
+  test("dialect resolution, quoting, fetch size and URL suffixes") {
+    import JdbcDialect._
+    assert(of("jdbc:mysql://h:3306/db") == MySql)
+    assert(of("jdbc:oracle:thin:@h:1521:orcl") == Oracle)
+    assert(of("jdbc:postgresql://h/db") == PostgreSql)
+    assert(of("jdbc:sqlserver://h;database=db") == SqlServer)
+    assert(of("jdbc:derby:memory:x") == Derby)
+    assert(of("jdbc:unknownthing://x") == Generic)
+    assert(of("mysql") == MySql)
+    // MySQL streams rows: the configured fetchSize is OVERRIDDEN with
+    // Integer.MIN_VALUE (reference MysqlReader.java:29-35)
+    assert(MySql.readerFetchSize(Some(5000)) == Integer.MIN_VALUE)
+    assert(Derby.readerFetchSize(Some(5000)) == 5000)
+    assert(Derby.readerFetchSize(None) == 32)
+    // identifier quoting per family (reference DataBaseType.quoteColumnName)
+    assert(MySql.quoteColumn("a`b") == "`a``b`")
+    assert(SqlServer.quoteColumn("c") == "[c]")
+    // pass-through families (quoting would break case-folded identifiers)
+    assert(Derby.quoteColumn("c") == "c")
+    assert(Oracle.quoteColumn("c") == "c")
+    // MySQL URL suffix (reference appendJDBCSuffixForReader/Writer)
+    assert(MySql.readerUrl("jdbc:mysql://h/db") ==
+      "jdbc:mysql://h/db?yearIsDateType=false&zeroDateTimeBehavior=convertToNull" +
+        "&tinyInt1isBit=false&rewriteBatchedStatements=true")
+    assert(MySql.readerUrl("jdbc:mysql://h/db?a=1").startsWith("jdbc:mysql://h/db?a=1&"))
+    assert(Oracle.readerUrl("jdbc:oracle:thin:@h") == "jdbc:oracle:thin:@h")
+    val props = readerProps(MySql, "u", "p")
+    assert(props.getProperty("fetchsize") == Integer.MIN_VALUE.toString)
+  }
+
+  test("dialect range and Oracle SAMPLE split SQL match the reference's shapes") {
+    import JdbcDialect._
+    assert(Generic.pkRangeSql("id", "t", None) == "SELECT MIN(id),MAX(id) FROM t")
+    assert(MySql.pkRangeSql("id", "t", Some("x > 0")) ==
+      "SELECT MIN(`id`),MAX(`id`) FROM `t` WHERE (x > 0 AND `id` IS NOT NULL)")
+    // Oracle sampled split (reference SingleTableSplitUtil.java:309-312)
+    assert(Oracle.sampledSplitSql("id", "t", None, 0.1, 8).contains(
+      "SELECT * FROM ( SELECT id FROM t SAMPLE (0.1) WHERE (id IS NOT NULL) " +
+        "ORDER BY DBMS_RANDOM.VALUE) WHERE ROWNUM <= 8 ORDER by id ASC"))
+    assert(Oracle.sampledSplitSql("id", "t", Some("c=1"), 0.5, 4).contains(
+      "SELECT * FROM ( SELECT id FROM t SAMPLE (0.5) WHERE (id IS NOT NULL) AND (c=1) " +
+        "ORDER BY DBMS_RANDOM.VALUE) WHERE ROWNUM <= 4 ORDER by id ASC"))
+    // MySQL has no sampling path: MIN/MAX slicing is the strategy
+    assert(MySql.sampledSplitSql("id", "t", None, 0.1, 8).isEmpty)
+    // the sampled points flow into the planner's sampled slices
+    val slices = JdbcSplit.sampledSlices("id", Seq("10", "20", "30"), quoted = false)
+    assert(slices.map(_.toSql) == Seq("id < 10", "id >= 10 AND id < 20",
+      "id >= 20 AND id < 30", "id >= 30", "id IS NULL"))
+  }
+
   // ---- embedded-Derby round trips ------------------------------------------
 
   private def derby(db: String): Connection =
@@ -131,11 +183,15 @@ class JdbcSpec extends SparkSpec {
     }
     conn.close()
 
-    val props = new java.util.Properties()
     val url = "jdbc:derby:memory:readdb"
-    // split plan from the real MIN/MAX, like the reference's SELECT MIN(pk),MAX(pk)
+    val dialect = JdbcDialect.of(url)
+    assert(dialect == JdbcDialect.Derby)
+    val props = JdbcDialect.readerProps(dialect, "app", "app")
+    // split plan from the dialect's MIN/MAX range SQL (the reference's
+    // SELECT MIN(pk),MAX(pk) probe)
     val c2 = derby("readdb")
-    val rs = c2.createStatement().executeQuery("SELECT MIN(pk), MAX(pk) FROM people")
+    val rs = c2.createStatement().executeQuery(
+      dialect.pkRangeSql("pk", "people", where = None))
     rs.next()
     val (mn, mx) = (BigInt(rs.getInt(1)), BigInt(rs.getInt(2)))
     c2.close()
