@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
  *          [--merge-mode cow|mor]   # mor = O(batch) delta commits + compaction
  *          [--follow-ms N]          # keep tailing the changelog (ProcessingTime
  *                                   # trigger) instead of drain-and-stop
+ *          [--retain-snapshots N [--retain-meta-epochs N] [--tombstone-lag L]
+ *           [--retention-every N]]  # bounded-growth maintenance loop for
+ *                                   # long-running deployments
  *   compact --table DIR             # fold merge-on-read deltas into base files
  *   sync   --source DIR --dest DIR [--buckets N] [--merge-mode cow|mor]
  *                                 # incremental table->table replication:
@@ -65,7 +68,15 @@ object Main {
           mergeMode = opts.getOrElse("merge-mode", "cow"),
           // --follow-ms N keeps tailing the changelog dir at that poll
           // interval (runs until killed); default drains and stops
-          followIntervalMs = opts.get("follow-ms").map(_.toLong))
+          followIntervalMs = opts.get("follow-ms").map(_.toLong),
+          // --retain-snapshots N enables the bounded-growth maintenance
+          // loop a long-running --follow-ms deployment needs
+          retention = opts.get("retain-snapshots").map(n =>
+            graft.cdc.RetentionPolicy(
+              retainSnapshots = n.toInt,
+              retainMetaEpochs = opts.getOrElse("retain-meta-epochs", "50").toInt,
+              tombstoneLsnLag = opts.get("tombstone-lag").map(_.toLong),
+              everyEpochs = opts.getOrElse("retention-every", "10").toInt)))
         opts.getOrElse("mode", "stream") match {
           case "batch" =>
             val rec = CdcPipeline.replayBatch(spark, opts("changelog"), table, pOpts)

@@ -22,6 +22,33 @@ final case class LineageRecord(
 
 final case class PartitionLineage(partition: Int, rows: Long, minLsn: Long, maxLsn: Long)
 
+/**
+ * Bounded-growth policy for a LONG-RUNNING ingest (`--follow-ms`
+ * deployments): without it, snapshot manifests, expired data files,
+ * tombstones, and per-epoch quarantine/lineage records all grow without
+ * bound at 10^10-event scale. Applied post-commit every `everyEpochs`
+ * epochs, ordered so the snapshot horizon is enforced LAST (tombstone
+ * expiry commits its own snapshot versions). Reference analogue: the stream
+ * reader's status-table cleanup of expired shard checkpoints
+ * (reference: otsstreamreader/.../core/OTSStreamReaderMasterProxy.java:28-63).
+ */
+final case class RetentionPolicy(
+    /** Keep this many most-recent snapshots (time-travel horizon); older
+      * manifests and the data files only they reference are deleted. */
+    retainSnapshots: Int = 10,
+    /** Keep per-epoch quarantine + lineage records for this many epochs
+      * behind the committed epoch. */
+    retainMetaEpochs: Int = 50,
+    /** When set, delete-op tombstones with `lsn < maxAppliedLsn - lag` are
+      * physically dropped (their buckets rewritten). The lag must exceed
+      * the source's maximum out-of-order window — a tombstone younger than
+      * the lag could still be outrun by a late stale update. None = keep
+      * every tombstone. */
+    tombstoneLsnLag: Option[Long] = None,
+    /** Run the policy every N committed epochs (amortizes the maintenance
+      * commits/scans across the steady state). */
+    everyEpochs: Int = 10)
+
 final case class PipelineOptions(
     errorLimit: ErrorLimit = ErrorLimit(record = None, percentage = Some(0.02)),
     maxFilesPerTrigger: Int = 8,
@@ -52,7 +79,10 @@ final case class PipelineOptions(
       * replay / catch-up shape). Some(ms) = keep tailing the changelog
       * directory at this poll interval (Trigger.ProcessingTime — the
       * long-running deployment shape; the query runs until stopped). */
-    followIntervalMs: Option[Long] = None)
+    followIntervalMs: Option[Long] = None,
+    /** Post-commit retention maintenance (None = unbounded growth — fine
+      * for a bounded backfill, wrong for a follow-mode deployment). */
+    retention: Option[RetentionPolicy] = None)
 
 /**
  * The end-to-end CDC pipeline: changelog tail -> dirty sideband -> LWW dedup
@@ -156,7 +186,45 @@ object CdcPipeline {
       val rec = LineageRecord(epoch, parts, stats.clean + stats.dirty, stats.dirty,
         applied, buckets, (System.nanoTime() - t0) / 1000000L, result)
       writeLineage(table, rec)
+      opts.retention.foreach { pol =>
+        if (result == "committed" && epoch % math.max(1, pol.everyEpochs) == 0)
+          applyRetention(batch.sparkSession, table, pol, epoch)
+      }
       rec
+    }
+  }
+
+  /** One maintenance round (see [[RetentionPolicy]]): tombstone expiry
+    * first (it commits snapshots of its own), then the snapshot horizon,
+    * then per-epoch quarantine/lineage GC — so a post-round table holds at
+    * most `retainSnapshots` manifests and `retainMetaEpochs` epoch records
+    * regardless of how long the stream has been running. */
+  private def applyRetention(spark: SparkSession, table: SnapTable,
+      pol: RetentionPolicy, epoch: Long): Unit = {
+    pol.tombstoneLsnLag.foreach { lag =>
+      val maxLsn = table.maxAppliedLsn(spark)
+      if (maxLsn > lag) table.expireTombstones(spark, maxLsn - lag): Unit
+    }
+    table.expireSnapshots(pol.retainSnapshots): Unit
+    gcEpochMeta(table, epoch - pol.retainMetaEpochs)
+  }
+
+  /** Delete quarantine dirs and lineage records for epochs strictly below
+    * `beforeEpoch`. */
+  private def gcEpochMeta(table: SnapTable, beforeEpoch: Long): Unit = {
+    if (beforeEpoch <= 0) return
+    val conf = new org.apache.hadoop.conf.Configuration()
+    for (sub <- Seq("dirty", "lineage")) {
+      val dir = new org.apache.hadoop.fs.Path(table.root, s"meta/$sub")
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName // epoch-XXXXXXXX[.json]
+          val ep = name.stripPrefix("epoch-").stripSuffix(".json")
+          if (ep.forall(_.isDigit) && ep.toLong < beforeEpoch)
+            fs.delete(st.getPath, true): Unit
+        }
+      }
     }
   }
 

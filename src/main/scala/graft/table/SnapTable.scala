@@ -583,7 +583,16 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     if (expire.isEmpty) return (0, 0)
     val referenced = retain.map(snapshot(_)).flatMap(_.files.map(_.path)).toSet
     val doomed = expire.map(snapshot(_)).flatMap(_.files.map(_.path)).toSet -- referenced
-    doomed.foreach(rel => fs.delete(new Path(root, rel), false))
+    def dirOf(rel: String) = rel.split("/").take(2).mkString("/")
+    // a commit dir no retained snapshot reaches is removed WHOLE (it also
+    // holds untracked writer artifacts — _SUCCESS, checksums — that would
+    // otherwise accrete one dir per expired epoch forever); doomed files
+    // inside still-referenced dirs (CoW keeps carrying old commits' files
+    // forward) are deleted individually
+    val retainedDirs = referenced.map(dirOf)
+    val (inDeadDirs, inLiveDirs) = doomed.partition(f => !retainedDirs(dirOf(f)))
+    inLiveDirs.foreach(rel => fs.delete(new Path(root, rel), false))
+    inDeadDirs.map(dirOf).foreach(d => fs.delete(new Path(root, d), true))
     expire.foreach(v => fs.delete(snapPath(v), false))
     (expire.size, doomed.size)
   }
