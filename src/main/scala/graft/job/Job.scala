@@ -162,20 +162,51 @@ object Job {
     base.select(cols: _*)
   }
 
+  private def pathList(param: JValue, who: String): Seq[String] =
+    (param \ "path") match {
+      case JString(s) => Seq(s)
+      case JArray(ps) => ps.map(_.extract[String])
+      case _ => throw new IllegalArgumentException(s"$who needs path")
+    }
+
+  private def csvConfig(param: JValue): TypedFileSource.CsvConfig =
+    TypedFileSource.CsvConfig(
+      fieldDelimiter = (param \ "fieldDelimiter").extractOpt[String].getOrElse(","),
+      nullFormat = (param \ "nullFormat").extractOpt[String],
+      skipHeader = (param \ "skipHeader").extractOpt[Boolean].getOrElse(false))
+
   private def read(spark: SparkSession, p: PluginSpec, channels: Int): DataFrame =
     p.name.toLowerCase match {
       case "streamreader" => readStream(spark, p.parameter, channels)
       case "txtfilereader" | "csvreader" =>
-        val paths = (p.parameter \ "path") match {
-          case JString(s) => Seq(s)
-          case JArray(ps) => ps.map(_.extract[String])
-          case _ => throw new IllegalArgumentException("txtfilereader needs path")
+        val paths = pathList(p.parameter, "txtfilereader")
+        val cfg = csvConfig(p.parameter)
+        // explicit `compress` decodes regardless of file extension (reference:
+        // UnstructuredStorageReaderUtil.java:120-213 decodes by setting, not name)
+        (p.parameter \ "compress").extractOpt[String].map(_.toLowerCase) match {
+          case Some(c @ ("gzip" | "bzip2" | "zip")) =>
+            TypedFileSource.readCompressedCsv(spark, paths, columnSpecs(p.parameter), c, cfg)
+          case Some("none") | None =>
+            TypedFileSource.readCsv(spark, paths, columnSpecs(p.parameter), cfg)
+          case Some(other) => throw new IllegalArgumentException(s"compress '$other'")
         }
-        TypedFileSource.readCsv(spark, paths, columnSpecs(p.parameter),
-          TypedFileSource.CsvConfig(
-            fieldDelimiter = (p.parameter \ "fieldDelimiter").extractOpt[String].getOrElse(","),
-            nullFormat = (p.parameter \ "nullFormat").extractOpt[String],
-            skipHeader = (p.parameter \ "skipHeader").extractOpt[Boolean].getOrElse(false)))
+      case "hdfsreader" | "filereader" =>
+        // reference hdfsreader: path + fileType (TEXT/ORC/RC/SEQ/PARQUET/CSV)
+        // + column projection (HdfsReader.java job model; DFSUtil dispatch).
+        // fileType "auto" (the default) sniffs magic bytes like the
+        // reference's checkHdfsFileType.
+        val paths = pathList(p.parameter, "hdfsreader")
+        val cfg = csvConfig(p.parameter)
+        val cols = columnSpecs(p.parameter)
+        (p.parameter \ "fileType").extractOpt[String].map(_.toLowerCase).getOrElse("auto") match {
+          case "auto" => TypedFileSource.readAuto(spark, paths, cols, cfg)
+          case "text" | "csv" => TypedFileSource.readCsv(spark, paths, cols, cfg)
+          case "orc" => TypedFileSource.readOrc(spark, paths, cols)
+          case "parquet" => TypedFileSource.readParquet(spark, paths, cols)
+          case "seq" => TypedFileSource.readSeq(spark, paths, cols, cfg)
+          case "rc" => TypedFileSource.readRc(spark, paths, cols, cfg)
+          case other => throw new IllegalArgumentException(s"fileType '$other'")
+        }
       case "parquetreader" =>
         spark.read.parquet((p.parameter \ "path").extract[String])
       case "orcreader" =>

@@ -1,9 +1,16 @@
 package graft.sources
 
 import graft.functions.DataXTransforms
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.ql.io.RCFileInputFormat
+import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
+import org.apache.hadoop.io.{LongWritable, Text, Writable}
+import org.apache.hadoop.mapred.SequenceFileInputFormat
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets.UTF_8
 
 /**
  * Typed file-source parity layer: the reference's unstructured-storage
@@ -98,6 +105,170 @@ object TypedFileSource {
     val raw = spark.read.orc(paths: _*)
     if (columns.isEmpty) raw else project(raw, columns, None)
   }
+
+  /** Parquet through the same projection (reference hdfsreader PARQUET branch,
+    * DFSUtil.java:367-422). */
+  def readParquet(spark: SparkSession, paths: Seq[String],
+      columns: Seq[ColumnSpec] = Nil): DataFrame = {
+    val raw = spark.read.parquet(paths: _*)
+    if (columns.isEmpty) raw else project(raw, columns, None)
+  }
+
+  /** Classify magic bytes into a file format tag. Exposed for tests.
+    * Reference: hdfsreader/.../DFSUtil.java:524-695 (checkHdfsFileType —
+    * ORC postscript probe, SEQ/RC header probe, CSV fallthrough). */
+  private[graft] def detectMagic(head: Array[Byte], n: Int): String = {
+    def is(s: String): Boolean = {
+      val m = s.getBytes(UTF_8)
+      n >= m.length && m.indices.forall(i => head(i) == m(i))
+    }
+    if (is("ORC")) "orc"
+    else if (is("PAR1")) "parquet"
+    else if (is("RCF")) "rc" // modern RCFile magic; pre-0.9 RC files carry a
+    // SEQ v6 header and will sniff as "seq" — readSeq fails fast on those.
+    else if (is("SEQ")) "seq"
+    else if (n >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) "gzip"
+    else if (is("BZh")) "bzip2"
+    else if (is("PK")) "zip"
+    else "text"
+  }
+
+  /** Sniff the on-disk format of `path` (a file, or a directory whose first
+    * data file is probed) from its leading magic bytes — the reference
+    * auto-detects ORC/SEQ/RC/CSV when the job omits `fileType`
+    * (DFSUtil.java:524-695). Runs one driver-side 4-byte read; at 100 TB the
+    * cost is a single FS open, not a scan. */
+  def sniffFormat(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val file =
+      if (st.isDirectory) {
+        val kids = fs.listStatus(p).filter { s =>
+          val nm = s.getPath.getName
+          s.isFile && s.getLen > 0 && !nm.startsWith("_") && !nm.startsWith(".")
+        }
+        require(kids.nonEmpty, s"no data files to sniff under $path")
+        kids.minBy(_.getPath.getName).getPath
+      } else p
+    val head = new Array[Byte](4)
+    val in = fs.open(file)
+    val n =
+      try {
+        var off = 0
+        var r = 0
+        while (off < head.length && { r = in.read(head, off, head.length - off); r > 0 }) off += r
+        off
+      } finally in.close()
+    detectMagic(head, n)
+  }
+
+  /** Parse a dataset of raw delimited lines through the typed projection —
+    * the shared tail of the SEQ / compressed-text paths. */
+  private def parseLines(spark: SparkSession, lines: Dataset[String],
+      columns: Seq[ColumnSpec], cfg: CsvConfig): DataFrame = {
+    val raw = spark.read
+      .option("sep", cfg.fieldDelimiter)
+      .option("inferSchema", "false")
+      .csv(lines)
+    project(raw, columns, cfg.nullFormat)
+  }
+
+  /** Read Hadoop SequenceFile(s) whose values are delimited text lines
+    * (reference: hdfsreader/.../DFSUtil.java:214-242, sequenceFileStartRead —
+    * value `Text` split by fieldDelimiter; keys ignored). Splittable: Spark
+    * plans one task per SEQ block range, so this scales like any file scan. */
+  def readSeq(spark: SparkSession, paths: Seq[String], columns: Seq[ColumnSpec],
+      cfg: CsvConfig = CsvConfig()): DataFrame = {
+    import spark.implicits._
+    val lines = spark.createDataset(
+      spark.sparkContext
+        .hadoopFile(paths.mkString(","),
+          classOf[SequenceFileInputFormat[Writable, Text]],
+          classOf[Writable], classOf[Text])
+        // Text buffers are reused by the record reader; materialize per record.
+        .map(_._2.toString))
+    parseLines(spark, lines, columns, cfg)
+  }
+
+  /** Read RCFile(s) — Hive's columnar container the reference reads via
+    * RCFileRecordReader (DFSUtil.java:245-290, rcFileStartRead). Cells arrive
+    * as raw bytes per column; the typed projection then applies. `columns`
+    * must be non-empty (RC carries no column names, only positions). */
+  def readRc(spark: SparkSession, paths: Seq[String], columns: Seq[ColumnSpec],
+      cfg: CsvConfig = CsvConfig()): DataFrame = {
+    require(columns.exists(_.index.isDefined),
+      "RC read needs at least one index-addressed column spec")
+    import spark.implicits._
+    val width = columns.flatMap(_.index).max + 1
+    val cells: Dataset[Seq[String]] = spark.createDataset(
+      spark.sparkContext
+        .hadoopFile(paths.mkString(","),
+          classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
+          classOf[LongWritable], classOf[BytesRefArrayWritable])
+        .map { case (_, row) =>
+          (0 until math.min(width, row.size())).toSeq.map { i =>
+            val br = row.get(i)
+            new String(br.getData, br.getStart, br.getLength, UTF_8)
+          }: Seq[String]
+        })
+    val raw = cells.select(
+      (0 until width).map(i => element_at(col("value"), i + 1).as(s"_c$i")): _*)
+    project(raw, columns, cfg.nullFormat)
+  }
+
+  /** Read compressed delimited text where the codec is known but the file
+    * extension doesn't advertise it (the reference decodes by configured
+    * `compress`, not extension: plugin-unstructured-storage-util/.../
+    * UnstructuredStorageReaderUtil.java:120-213). gzip/zip/bzip2 are
+    * non-splittable, so one-file-one-task is the correct parallel unit at any
+    * scale; each file streams through the codec without full materialization
+    * of the decompressed text. Zip archives read every entry. */
+  def readCompressedCsv(spark: SparkSession, paths: Seq[String],
+      columns: Seq[ColumnSpec], codec: String,
+      cfg: CsvConfig = CsvConfig()): DataFrame = {
+    import spark.implicits._
+    val encoding = cfg.encoding
+    val bin = spark.read.format("binaryFile").load(paths: _*)
+      .select("content").as[Array[Byte]]
+    val lines = bin.flatMap { bytes =>
+      val raw = new java.io.ByteArrayInputStream(bytes)
+      codec match {
+        case "gzip" =>
+          scala.io.Source.fromInputStream(
+            new java.util.zip.GZIPInputStream(raw), encoding).getLines()
+        case "bzip2" =>
+          scala.io.Source.fromInputStream(
+            new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(raw),
+            encoding).getLines()
+        case "zip" =>
+          // one reader per entry, so entries without trailing newlines
+          // can't merge lines across entry boundaries
+          val z = new org.apache.commons.compress.archivers.zip.ZipArchiveInputStream(raw)
+          Iterator.continually(z.getNextEntry).takeWhile(_ != null).flatMap { _ =>
+            val r = new java.io.BufferedReader(new java.io.InputStreamReader(z, encoding))
+            Iterator.continually(r.readLine()).takeWhile(_ != null)
+          }
+        case other => throw new IllegalArgumentException(s"codec '$other'")
+      }
+    }
+    parseLines(spark, lines, columns, cfg)
+  }
+
+  /** Format-agnostic read: sniff the magic bytes, then dispatch — the
+    * reference's behavior when a path's `fileType` is unset or wrong
+    * (DFSUtil.java:524-695 logs and re-routes on mismatch). */
+  def readAuto(spark: SparkSession, paths: Seq[String],
+      columns: Seq[ColumnSpec] = Nil,
+      cfg: CsvConfig = CsvConfig()): DataFrame =
+    sniffFormat(spark, paths.head) match {
+      case "orc" => readOrc(spark, paths, columns)
+      case "parquet" => readParquet(spark, paths, columns)
+      case "seq" => readSeq(spark, paths, columns, cfg)
+      case "rc" => readRc(spark, paths, columns, cfg)
+      case c @ ("gzip" | "bzip2" | "zip") => readCompressedCsv(spark, paths, columns, c, cfg)
+      case _ => readCsv(spark, paths, columns, cfg)
+    }
 }
 
 /**

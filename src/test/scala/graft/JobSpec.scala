@@ -97,6 +97,51 @@ class JobSpec extends SparkSpec {
     assert(back == Set(("click", "useraa", "120"), ("click", "usercc", "45")))
   }
 
+  test("hdfsreader lane: fileType auto sniffs ORC; seq reads sequence files") {
+    val in = tmpDir("hdfsin")
+    val out = s"${tmpDir("hdfsout")}/result"
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("k", "v")
+      .coalesce(1).write.orc(s"$in/orc")
+    val json =
+      s"""{"job": {"content": [{
+         |  "reader": {"name": "hdfsreader", "parameter": {
+         |    "path": "$in/orc",
+         |    "column": [
+         |      {"index": 0, "type": "long", "name": "k"},
+         |      {"index": 1, "type": "string", "name": "v"}]}},
+         |  "writer": {"name": "parquetwriter", "parameter": {
+         |    "path": "$out", "writeMode": "truncate"}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    assert(report.rowsWritten == 3)
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+
+    // explicit fileType seq over a sequence file written by the test
+    val p = new org.apache.hadoop.fs.Path(s"$in/seq/part-0.seq")
+    val w = org.apache.hadoop.io.SequenceFile.createWriter(
+      spark.sparkContext.hadoopConfiguration,
+      org.apache.hadoop.io.SequenceFile.Writer.file(p),
+      org.apache.hadoop.io.SequenceFile.Writer.keyClass(classOf[org.apache.hadoop.io.LongWritable]),
+      org.apache.hadoop.io.SequenceFile.Writer.valueClass(classOf[org.apache.hadoop.io.Text]))
+    w.append(new org.apache.hadoop.io.LongWritable(0L), new org.apache.hadoop.io.Text("7,seven"))
+    w.close()
+    val json2 =
+      s"""{"job": {"content": [{
+         |  "reader": {"name": "hdfsreader", "parameter": {
+         |    "path": "$in/seq", "fileType": "seq",
+         |    "column": [
+         |      {"index": 0, "type": "long", "name": "k"},
+         |      {"index": 1, "type": "string", "name": "v"}]}},
+         |  "writer": {"name": "parquetwriter", "parameter": {
+         |    "path": "$out", "writeMode": "truncate"}}}]}}
+         |""".stripMargin
+    val report2 = Job.run(spark, json2)
+    assert(report2.error.isEmpty, report2.error)
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSeq == Seq((7L, "seven")))
+  }
+
   test("changelog -> snaptable MERGE job (upsert writer)") {
     import graft.gen.{ChangeStreamGen, GenConfig}
     val log = tmpDir("joblog")
