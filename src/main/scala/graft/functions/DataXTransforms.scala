@@ -124,6 +124,17 @@ object DataXTransforms {
     * The snippet body sees `df: DataFrame` with sql functions imported and
     * must evaluate to a DataFrame. */
   final case class Script(code: String) extends Transform
+  /** ComplexTransformer parity (reference: transformer/.../
+    * ComplexTransformer.java evaluate(record, tContext, paras); context wired
+    * from job JSON via TransformerExecutionParas.java tContext): a
+    * multi-column rewrite whose user code additionally receives a `ctx`
+    * config map. The snippet sees `df: DataFrame` and
+    * `ctx: Map[String, String]` and evaluates to a DataFrame — whole-row
+    * scope, so it can read/write any number of columns at once. */
+  final case class MapT(context: Map[String, String], code: String) extends Transform
+  /** A transform registered by name in [[TransformRegistry]] (the reference's
+    * third-party transformer registry, TransformerRegistry.java:23-177). */
+  final case class Named(name: String, context: Map[String, String]) extends Transform
 
   /** Sequential fold over the chain, like TransformerExchanger: filters drop
     * rows, scalar transforms rewrite one column. */
@@ -136,7 +147,50 @@ object DataXTransforms {
       case (d, Filter(colName, op, v)) => d.filter(!dxFilterPred(col(colName), op, v))
       case (d, Custom(f)) => f(d)
       case (d, Script(code)) => ScriptCompiler.compile(code)(d)
+      case (d, MapT(ctx, code)) => ScriptCompiler.compileWithContext(code)(d, ctx)
+      case (d, Named(name, ctx)) => TransformRegistry.resolve(name).getOrElse(
+        throw new IllegalArgumentException(s"transformer '$name' not registered; " +
+          s"known: ${TransformRegistry.names.sorted.mkString(", ")}"))(d, ctx)
     }
+}
+
+/**
+ * Name registry for transforms callable from job JSON — the engine-side
+ * analogue of the reference's TransformerRegistry (core/.../transformer/
+ * TransformerRegistry.java:23-177): natives own the `dx_` namespace, user
+ * registrations must stay out of it, duplicates are rejected. Where the
+ * reference isolates third-party code behind per-jar classloaders, here a
+ * registration is a plain `(DataFrame, ctx) => DataFrame` — the user function
+ * still produces a Catalyst plan, so registered logic keeps pushdown/codegen
+ * instead of a row-at-a-time escape hatch.
+ */
+object TransformRegistry {
+  import scala.collection.concurrent.TrieMap
+
+  /** A whole-row transform taking the lane's frame and the job-config
+    * context map (the reference's tContext). */
+  type ComplexFn = (DataFrame, Map[String, String]) => DataFrame
+
+  /** Built-in single-column names live in the job layer's match; this set
+    * exists so namespace checks mirror TransformerRegistry.checkName. */
+  private val nativeNames = Set(
+    "dx_substr", "dx_pad", "dx_replace", "dx_filter", "dx_script", "dx_groovy", "dx_map")
+
+  private val registered = TrieMap.empty[String, ComplexFn]
+
+  /** Register a user transform. Names in the reserved `dx_` namespace or
+    * already taken are rejected (TransformerRegistry.java:147-164). */
+  def register(name: String, fn: ComplexFn): Unit = {
+    require(!name.startsWith("dx_"),
+      s"transformer name '$name': the dx_ namespace is reserved for natives")
+    val prior = registered.putIfAbsent(name, fn)
+    require(prior.isEmpty, s"transformer '$name' already registered")
+  }
+
+  def resolve(name: String): Option[ComplexFn] = registered.get(name)
+  def names: Seq[String] = nativeNames.toSeq ++ registered.keys
+  /** Test hook — the reference has no unregister; jobs re-register on boot. */
+  private[graft] def unregister(name: String): Unit = registered.remove(name)
 }
 
 /**
@@ -153,6 +207,7 @@ object ScriptCompiler {
 
   private lazy val toolbox = scala.reflect.runtime.currentMirror.mkToolBox()
   private val cache = TrieMap.empty[String, DataFrame => DataFrame]
+  private val ctxCache = TrieMap.empty[String, (DataFrame, Map[String, String]) => DataFrame]
 
   def compile(code: String): DataFrame => DataFrame =
     cache.getOrElseUpdate(code, synchronized {
@@ -162,5 +217,17 @@ object ScriptCompiler {
            |  import org.apache.spark.sql.{Column, DataFrame}
            |  $code
            |}""".stripMargin)).asInstanceOf[DataFrame => DataFrame]
+    })
+
+  /** dx_map flavor: the snippet additionally sees `ctx` — the job-config
+    * context map the reference passes as tContext. */
+  def compileWithContext(code: String): (DataFrame, Map[String, String]) => DataFrame =
+    ctxCache.getOrElseUpdate(code, synchronized {
+      toolbox.eval(toolbox.parse(
+        s"""(df: org.apache.spark.sql.DataFrame, ctx: Map[String, String]) => {
+           |  import org.apache.spark.sql.functions._
+           |  import org.apache.spark.sql.{Column, DataFrame}
+           |  $code
+           |}""".stripMargin)).asInstanceOf[(DataFrame, Map[String, String]) => DataFrame]
     })
 }

@@ -1,7 +1,7 @@
 package graft.job
 
 import graft.cdc.{CdcPipeline, Dirty, ErrorLimit, PipelineOptions}
-import graft.functions.DataXTransforms
+import graft.functions.{DataXTransforms, TransformRegistry}
 import graft.model.Schemas
 import graft.sources.{TypedFileSink, TypedFileSource}
 import graft.table.SnapTable
@@ -33,7 +33,8 @@ object Job {
   final case class Speed(channel: Option[Int], byte: Option[Long], record: Option[Long])
   final case class Settings(speed: Speed, errorLimit: ErrorLimit)
   final case class TransformSpec(name: String, columnIndex: Option[Int],
-      columnName: Option[String], paras: Seq[String])
+      columnName: Option[String], paras: Seq[String],
+      context: Map[String, String] = Map.empty, code: Option[String] = None)
   final case class PluginSpec(name: String, parameter: JValue)
   final case class Content(reader: PluginSpec, transformers: Seq[TransformSpec],
       writer: PluginSpec)
@@ -79,7 +80,16 @@ object Job {
               case other2 => other2.toString
             }
             case _ => Nil
-          })
+          },
+          // tContext map (reference TransformerExecutionParas.java tContext)
+          (t \ "parameter" \ "context") match {
+            case JObject(fields) => fields.map {
+              case (k, JString(s)) => k -> s
+              case (k, v) => k -> v.values.toString
+            }.toMap
+            case _ => Map.empty[String, String]
+          },
+          (t \ "parameter" \ "code").extractOpt[String])
       }
       case _ => Nil
     }
@@ -240,7 +250,7 @@ object Job {
   // ---- transformer chain ---------------------------------------------------
 
   private def toTransform(df: DataFrame, t: TransformSpec): DataXTransforms.Transform = {
-    val colName = t.columnName.getOrElse(
+    lazy val colName = t.columnName.getOrElse(
       df.columns(t.columnIndex.getOrElse(
         throw new IllegalArgumentException(s"${t.name} needs columnIndex or columnName"))))
     t.name match {
@@ -253,12 +263,22 @@ object Job {
     }
   }
 
-  /** dx_script needs no column binding — handled before [[toTransform]]. */
+  /** Whole-row transforms need no column binding — handled before
+    * [[toTransform]]. Unrecognized names fall through to the
+    * [[graft.functions.TransformRegistry]] (third-party transformers,
+    * reference TransformerRegistry.java:23-177). */
   private def toTransformAny(df: DataFrame, t: TransformSpec): DataXTransforms.Transform =
-    if (t.name == "dx_script" || t.name == "dx_groovy")
-      DataXTransforms.Script(t.paras.headOption.getOrElse(
-        throw new IllegalArgumentException("dx_script needs the code as paras[0]")))
-    else toTransform(df, t)
+    t.name match {
+      case "dx_script" | "dx_groovy" =>
+        DataXTransforms.Script(t.code.orElse(t.paras.headOption).getOrElse(
+          throw new IllegalArgumentException("dx_script needs code (or paras[0])")))
+      case "dx_map" =>
+        DataXTransforms.MapT(t.context, t.code.orElse(t.paras.headOption).getOrElse(
+          throw new IllegalArgumentException("dx_map needs code (or paras[0])")))
+      case name if TransformRegistry.resolve(name).isDefined =>
+        DataXTransforms.Named(name, t.context)
+      case _ => toTransform(df, t)
+    }
 
   // ---- writers -------------------------------------------------------------
 

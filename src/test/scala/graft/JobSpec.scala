@@ -3,6 +3,7 @@ package graft
 import graft.cdc.DirtyLimitExceeded
 import graft.job.Job
 import graft.table.SnapTable
+import org.apache.spark.sql.functions.lit
 
 /**
  * Job-JSON entry-point conformance: the reference's shipped smoke-job shape
@@ -211,6 +212,61 @@ class JobSpec extends SparkSpec {
     assert(report.rowsRead == 500)
     assert(report.rowsWritten > 0 && report.rowsWritten < 500,
       s"script filter must drop some rows, wrote ${report.rowsWritten}")
+  }
+
+  test("dx_map: multi-column transform with a tContext map (ComplexTransformer)") {
+    val in = tmpDir("mapin")
+    val out = s"${tmpDir("mapout")}/result"
+    Seq(("alice", "hello", 2L), ("bob", "world", 3L)).toDF("u", "w", "n")
+      .coalesce(1).write.parquet(s"$in/data")
+    // code reads TWO columns and the context map at once — out of reach of
+    // the single-column dx_* natives
+    val json =
+      s"""{"job": {"content": [{
+         |  "reader": {"name": "parquetreader", "parameter": {"path": "$in/data"}},
+         |  "transformer": [{"name": "dx_map", "parameter": {
+         |    "context": {"sep": "::", "tag": "T9"},
+         |    "code": "df.withColumn(\\"joined\\", concat_ws(ctx(\\"sep\\"), col(\\"u\\"), col(\\"w\\"), lit(ctx(\\"tag\\"))))"}}],
+         |  "writer": {"name": "parquetwriter", "parameter": {
+         |    "path": "$out", "writeMode": "truncate"}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    val got = spark.read.parquet(out).select("joined").as[String].collect().toSet
+    assert(got == Set("alice::hello::T9", "bob::world::T9"))
+  }
+
+  test("transform registry: user names resolve, dx_ namespace is reserved") {
+    import graft.functions.TransformRegistry
+    TransformRegistry.register("audit_stamp", (df, ctx) =>
+      df.withColumn("audit", lit(ctx.getOrElse("who", "unknown"))))
+    try {
+      // duplicate and reserved-namespace registrations are rejected
+      intercept[IllegalArgumentException] {
+        TransformRegistry.register("audit_stamp", (df, _) => df)
+      }
+      intercept[IllegalArgumentException] {
+        TransformRegistry.register("dx_evil", (df, _) => df)
+      }
+      val in = tmpDir("regin")
+      val out = s"${tmpDir("regout")}/result"
+      Seq(("a", 1L)).toDF("k", "v").coalesce(1).write.parquet(s"$in/data")
+      val json =
+        s"""{"job": {"content": [{
+           |  "reader": {"name": "parquetreader", "parameter": {"path": "$in/data"}},
+           |  "transformer": [{"name": "audit_stamp", "parameter": {
+           |    "context": {"who": "job-77"}}}],
+           |  "writer": {"name": "parquetwriter", "parameter": {
+           |    "path": "$out", "writeMode": "truncate"}}}]}}
+           |""".stripMargin
+      val report = Job.run(spark, json)
+      assert(report.error.isEmpty, report.error)
+      assert(spark.read.parquet(out).select("audit").as[String].collect().toSeq == Seq("job-77"))
+      // unknown name still fails with the supported list
+      val bad = json.replace("audit_stamp", "no_such_fn")
+      val failed = Job.run(spark, bad)
+      assert(failed.error.exists(_.contains("unknown transformer")), failed.error)
+    } finally TransformRegistry.unregister("audit_stamp")
   }
 
   test("failed job reports Failed state and the error through hooks") {
