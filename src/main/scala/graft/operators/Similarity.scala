@@ -113,16 +113,36 @@ object Similarity {
   }
 
   /**
+   * Hash tables needed so a pair at cosine >= `minCos` shares at least one
+   * bucket with probability >= 1 - `targetMiss`: per random hyperplane the
+   * two vectors land on the same side with p_bit = 1 - acos(minCos)/pi, a
+   * whole `nbits`-bit bucket matches with p_bit^nbits, and `tables`
+   * independent tables miss together with (1 - p_bit^nbits)^tables. The one
+   * recall knob both ANN entry points share.
+   */
+  def lshTablesFor(minCos: Double, nbits: Int, targetMiss: Double): Int = {
+    require(minCos > -1.0 && minCos < 1.0, s"minCos $minCos outside (-1, 1)")
+    val pBit = 1.0 - math.acos(minCos) / math.Pi
+    val pBucket = math.pow(pBit, nbits)
+    math.min(256, math.max(1,
+      math.ceil(math.log(targetMiss) / math.log1p(-pBucket)).toInt))
+  }
+
+  /**
    * LSH ANN top-k: candidates = corpus rows sharing any hash-table bucket
    * with the query, then exact cosine rank within candidates. Recall vs
    * [[bruteForceTopK]] is property-tested; tables/nbits trade recall for
-   * bucket size.
+   * bucket size. Passing `minCos` sizes the table count from
+   * [[lshTablesFor]] (recall target) instead of the fixed `tables` — the
+   * same auto-sizing [[nearDupPairs]] uses.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       tables: Int = 8, nbits: Int = 8, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      minCos: Option[Double] = None, targetMiss: Double = 1e-6): DataFrame = {
+    val nTables = minCos.map(c => lshTablesFor(c, nbits, targetMiss)).getOrElse(tables)
     def melt(df: DataFrame, id: String, vec: String) = {
-      val b = lshBuckets(df, tables, nbits, dim, seed, idCol, vecCol)
+      val b = lshBuckets(df, nTables, nbits, dim, seed, idCol, vecCol)
         .withColumnRenamed(idCol, id)
       df.select(col(idCol).as(id), col(vecCol).as(vec)).join(b, id)
     }
@@ -161,17 +181,18 @@ object Similarity {
   def nearDupPairs(df: DataFrame, threshold: Double, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nbits: Int = 4, seed: Long = 42L, targetMiss: Double = 1e-8,
-      strategy: String = "auto", exactCutoff: Long = 100000L): DataFrame = {
+      strategy: String = "auto", exactCutoff: Long = 100000L,
+      rowHint: Option[Long] = None): DataFrame = {
     strategy match {
       case "exact" => nearDupPairsExact(df, threshold, dim, idCol, vecCol)
       case "auto" =>
-        if (df.count() <= exactCutoff) nearDupPairsExact(df, threshold, dim, idCol, vecCol)
+        // `rowHint` lets a caller that already knows the size (a table's
+        // manifest row count, a bench harness) skip the sizing count() job
+        val n = rowHint.getOrElse(df.count())
+        if (n <= exactCutoff) nearDupPairsExact(df, threshold, dim, idCol, vecCol)
         else nearDupPairs(df, threshold, dim, idCol, vecCol, nbits, seed, targetMiss, "lsh")
       case "lsh" =>
-        val pBit = 1.0 - math.acos(threshold) / math.Pi
-        val pBucket = math.pow(pBit, nbits)
-        val tables = math.min(256, math.max(1,
-          math.ceil(math.log(targetMiss) / math.log1p(-pBucket)).toInt))
+        val tables = lshTablesFor(threshold, nbits, targetMiss)
         val b = lshBuckets(df, tables, nbits, dim, seed, idCol, vecCol)
         val l = b.select(col(idCol).as("a"), col("tbl"), col("bkt"))
         val r = b.select(col(idCol).as("b"), col("tbl"), col("bkt"))

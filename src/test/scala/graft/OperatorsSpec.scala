@@ -138,6 +138,32 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"ANN recall $recall too low")
   }
 
+  test("lshTopK recall target sizes tables like nearDupPairs (shared helper)") {
+    // the closed-form bound: at minCos the computed table count must push the
+    // miss probability under target
+    val nbits = 4
+    val target = 1e-4
+    val tables = Similarity.lshTablesFor(0.5, nbits, target)
+    val pBit = 1.0 - math.acos(0.5) / math.Pi
+    val missAt = math.pow(1.0 - math.pow(pBit, nbits), tables)
+    assert(missAt <= target, s"$tables tables leave miss $missAt > $target")
+    assert(Similarity.lshTablesFor(0.9, nbits, target) < tables,
+      "higher similarity must need fewer tables")
+
+    // recall driven by the target, not a hand-tuned table count: every
+    // true neighbor at cosine >= minCos must be found (n_pairs * miss << 1)
+    val queries = emb.filter(col("vec_id") < 20)
+    val minCos = 0.3
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 10, dim = 64,
+        nbits = nbits, minCos = Some(minCos), targetMiss = 1e-6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = if (exact.isEmpty) 1.0 else exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.99, s"recall $recall below the computed-table bound")
+  }
+
   test("cosine expression matches scala computation") {
     val rows = emb.limit(3).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
