@@ -259,6 +259,73 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_dx_map" -> ((s, dir) => {
+      // ComplexTransformer parity (reference transformer/.../
+      // ComplexTransformer.java evaluate(record, tContext, paras)):
+      // multi-column USER code that additionally reads a job-config context
+      // map — compiled once, still a Catalyst plan
+      applyChain(t(s, dir, "orders"), Seq(graft.functions.DataXTransforms.MapT(
+        Map("mult" -> "3", "tag" -> "fx"),
+        """df.withColumn("key_adj", col("o_orderkey") * ctx("mult").toLong)
+          |  .withColumn("status_tag", concat(lit(ctx("tag")), lit("-"), col("o_orderstatus")))
+          |  .select(col("o_orderkey"), col("key_adj"), col("status_tag"))""".stripMargin)))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_sniff_auto" -> ((s, dir) => {
+      // format comes from MAGIC BYTES, not config or extension (reference
+      // DFSUtil.java:524-695 re-routes on fileType mismatch): an ORC copy
+      // and a gzip CSV copy are both read through readAuto
+      import graft.sources.{TypedFileSink, TypedFileSource}
+      import graft.sources.TypedFileSource.{ColumnSpec, CsvConfig}
+      val work = java.nio.file.Files.createTempDirectory("graft-sniff").toString
+      t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+        .coalesce(1).write.orc(s"$work/supp")
+      TypedFileSink.writeCsv(
+        t(s, dir, "nation").select("n_nationkey", "n_name"),
+        s"$work/nat", TypedFileSink.WriteConfig(compression = Some("gzip")))
+      val supp = TypedFileSource.readAuto(s, Seq(s"$work/supp"))
+        .select(lit("supplier").as("src"), col("s_suppkey").cast("long").as("id_key"),
+          col("s_name").as("name"))
+      val nat = TypedFileSource.readAuto(s, Seq(s"$work/nat"),
+        columns = Seq(
+          ColumnSpec(index = Some(0), `type` = "long", name = Some("n_nationkey")),
+          ColumnSpec(index = Some(1), `type` = "string", name = Some("n_name"))),
+        cfg = CsvConfig())
+        .select(lit("nation").as("src"), col("n_nationkey").as("id_key"),
+          col("n_name").as("name"))
+      supp.unionByName(nat).orderBy("src", "id_key")
+    }),
+
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      // CommonRdbmsReader/Writer end-to-end against embedded Derby: batched
+      // INSERT write, then a dialect-planned predicate-partitioned read
+      // (MIN/MAX probe -> integer slices incl. the IS NULL slice), oracle'd
+      // against the parquet source the rows came from
+      import graft.sources.{JdbcDialect, JdbcSplit, JdbcWrite}
+      val db = "graftq" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db"
+      val connect = () => java.sql.DriverManager.getConnection(s"$url;create=true")
+      val c = connect()
+      c.createStatement().execute(
+        "CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR(64), c_nationkey INT)")
+      c.close()
+      val src = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      val (written, dirty) = JdbcWrite.write(src, connect, JdbcWrite.Insert, "customer")
+      require(dirty == 0, s"unexpected dirty rows: $dirty of $written")
+      val dialect = JdbcDialect.of(url)
+      val c2 = connect()
+      val rs = c2.createStatement().executeQuery(
+        dialect.pkRangeSql("c_custkey", "customer", where = None))
+      rs.next()
+      val (mn, mx) = (BigInt(rs.getLong(1)), BigInt(rs.getLong(2)))
+      c2.close()
+      val preds = JdbcSplit.integerSlices("c_custkey", mn, mx, 8).map(_.toSql).toArray
+      s.read.jdbc(url, "customer", preds, JdbcDialect.readerProps(dialect, "app", "app"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("int").as("c_nationkey"))
+        .orderBy("c_custkey")
+    }),
+
     "q_cast_ladder" -> ((s, dir) => {
       // ColumnCast multi-format parse ladder (reference ColumnCast.java:
       // 87-117): strings in three formats all parse back to the same date
@@ -384,7 +451,33 @@ object SparkEntry {
     // merge-on-read variant: O(batch) delta commits, NO compaction before
     // the read — the read-time LWW reduce must reproduce the same oracle
     // state as the copy-on-write path
-    "q_cdc_pipeline_mor" -> ((s, dir) => cdcPipelineReplay(s, dir, "mor"))
+    "q_cdc_pipeline_mor" -> ((s, dir) => cdcPipelineReplay(s, dir, "mor")),
+
+    // mid-stream schema evolution through the REAL pipeline (SURVEY.md
+    // §4.4): the changelog's low-lsn files are written WITHOUT the tool
+    // column (payload v1) and the high-lsn files carry it; the table is
+    // created at payload v1 and must evolve during the replay, with v1-file
+    // winners surfacing tool = null
+    "q_cdc_schema_evo" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val half = ev.agg(max("event_id")).head.getLong(0) / 2
+      val chg = eventsAsChangelog(ev)
+      val work = java.nio.file.Files.createTempDirectory("graft-cdcevo").toString
+      chg.filter(col("lsn") < half).drop("tool")
+        .repartition(4).write.parquet(s"$work/log")
+      chg.filter(col("lsn") >= half)
+        .withColumn("tool",
+          concat(col("role"), lit("#"), pmod(col("lsn"), lit(7)).cast("string")))
+        .repartition(4).write.mode("append").parquet(s"$work/log")
+      val table = SnapTable.create(s, s"$work/table", Schemas.payloadV1, numBuckets = 16)
+      val q = CdcPipeline.stream(s, s"$work/log", table, s"$work/ckpt",
+        graft.cdc.PipelineOptions(maxFilesPerTrigger = 4))
+      q.awaitTermination()
+      table.read(s)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          unix_micros(col("ts")).as("ts_us"), col("lsn"), col("tool"))
+        .orderBy("conv_id", "turn_idx")
+    })
   )
 
   private def cdcPipelineReplay(s: SparkSession, dir: String, mode: String): DataFrame = {
@@ -568,6 +661,24 @@ object SparkEntry {
         |FROM events WHERE event_type <> 'error'
         |ORDER BY event_id""".stripMargin,
 
+    "q_dx_map" ->
+      """SELECT o_orderkey, o_orderkey * 3 AS key_adj,
+        |  'fx-' || o_orderstatus AS status_tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_sniff_auto" ->
+      """SELECT * FROM (
+        |  SELECT 'supplier' AS src, CAST(s_suppkey AS BIGINT) AS id_key,
+        |         s_name AS name FROM supplier
+        |  UNION ALL
+        |  SELECT 'nation' AS src, CAST(n_nationkey AS BIGINT) AS id_key,
+        |         n_name AS name FROM nation
+        |) ORDER BY src, id_key""".stripMargin,
+
+    "q_jdbc_roundtrip" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q_cast_ladder" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
@@ -649,6 +760,22 @@ object SparkEntry {
         |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
         |  FROM events)
         |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_cdc_schema_evo" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         CASE WHEN event_id >= (SELECT max(event_id) FROM events) // 2
+        |              THEN event_type || '#' || CAST(event_id % 7 AS VARCHAR)
+        |              ELSE NULL END AS tool
+        |  FROM events)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn, tool
         |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
         |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
         |WHERE rn = 1 AND op <> 'D'
