@@ -171,7 +171,11 @@ object CdcPipeline {
         if (opts.saltedDedup) Dedup.lwwSalted(clean, Schemas.mergeKeys, Schemas.lwwOrder)
         else clean
       val mergeResult = opts.mergeMode match {
-        case "cow" => table.merge(toMerge, epoch, Some(touched), derived)
+        // stats.clean (counted in the accounting pass above — no extra
+        // scan) lets the merge pick the derived-column regime: re-derive
+        // winners while the replay batch dominates, carry stored values
+        // once the table does
+        case "cow" => table.merge(toMerge, epoch, Some(touched), derived, Some(stats.clean))
         case "mor" =>
           val r = table.mergeDelta(toMerge, epoch, derived)
           if (table.deltaFileCount > opts.morCompactDeltasPerBucket * table.numBuckets)

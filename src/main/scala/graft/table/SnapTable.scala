@@ -340,10 +340,17 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     * them (three UnsafeRow slots on every shuffled+sorted row ≈ 5s/epoch at
     * 10M events vs ~1s to re-derive a rewritten bucket's winners), so the
     * reduce runs on the bare envelope and the derivation projects onto its
-    * output. */
+    * output. That trade inverts at steady state — when the rewritten
+    * buckets' surviving rows outnumber the batch, re-deriving every
+    * survivor (a full textStats pass over its text) dominates — so a
+    * caller that knows the batch size (the pipeline counts it in its
+    * accounting pass) passes `batchRowsHint` and the merge carries STORED
+    * rows' persisted derived values through the reduce instead whenever
+    * storedRewriteRows > batchRows. */
   def merge(batch: DataFrame, epoch: Long, knownTouched: Option[Set[Int]],
-      derived: Derived = Derived.none): MergeResult =
-    retryingCommit(mergeAttempt(batch, epoch, knownTouched, derived))
+      derived: Derived = Derived.none,
+      batchRowsHint: Option[Long] = None): MergeResult =
+    retryingCommit(mergeAttempt(batch, epoch, knownTouched, derived, batchRowsHint))
 
   /**
    * Run one optimistic attempt of `op` per loop iteration; an attempt
@@ -394,7 +401,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
   private[graft] var beforeCommitHook: () => Unit = () => ()
 
   private def mergeAttempt(batch: DataFrame, epoch: Long, knownTouched: Option[Set[Int]],
-      derived: Derived): Option[MergeResult] = {
+      derived: Derived, batchRowsHint: Option[Long]): Option[MergeResult] = {
     val spark = batch.sparkSession
     val debug = sys.env.contains("GRAFT_DEBUG_TIMING")
     var tMark = System.nanoTime()
@@ -418,18 +425,37 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       else snap.schemaVersions
     val newSchemaV = if (evolved) snap.currentSchemaV + 1 else snap.currentSchemaV
 
-    // the reduce runs WITHOUT the derived columns (narrow shuffle rows);
-    // they are re-projected onto the winners before the write
     val reduceSchema = SnapTable.withoutDerived(target, derived)
-    val aligned = SchemaEvolution.align(batch, reduceSchema)
+    val alignedBare = SchemaEvolution.align(batch, reduceSchema)
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
 
     // 2. copy-on-write only the touched buckets.
     val touched = knownTouched.getOrElse(
-      aligned.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet)
+      alignedBare.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet)
     mark("touched-buckets")
     val (rewrite, keep) = snap.files.partition(f => touched(f.bucket))
-    val old = readAligned(spark, snap, rewrite, reduceSchema)
+
+    // Two regimes for derived columns (measured both ways, see merge's
+    // doc): replay/backfill (batch >> stored) reduces the BARE envelope
+    // and re-derives winners — extra null slots on every shuffled change
+    // event cost more than re-deriving the few survivors. Steady state
+    // (stored >> batch) carries the STORED rows' persisted values through
+    // the reduce — applyDerived's gated coalesce then recomputes only the
+    // winners whose values are null (fresh rows, pre-enrichment files) —
+    // because a survivor's textStats pass costs far more than the wider
+    // rows. The caller's batch-size hint (counted in the pipeline's
+    // accounting pass — no extra scan) picks the regime per epoch.
+    val storedDerivedCols = derived.cols.map(_.name).filter(tableSchema.fieldNames.contains)
+    val carryStored = storedDerivedCols.nonEmpty &&
+      batchRowsHint.exists(b => rewrite.map(_.rows).sum > b)
+    val carrySchema =
+      if (carryStored) storedDerivedCols.foldLeft(reduceSchema)((s, n) => s.add(target(n)))
+      else reduceSchema
+    val aligned =
+      if (carryStored) SchemaEvolution.align(batch, carrySchema)
+        .withColumn(BucketCol, bucketExpr(snap.numBuckets))
+      else alignedBare
+    val old = readAligned(spark, snap, rewrite, carrySchema)
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
 
     // 3+4. LWW winners among stored rows + batch, in ONE shuffle that is
@@ -438,7 +464,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     //    the aggregation's ClusteredDistribution and no second exchange is
     //    inserted between the reduce and the bucketed write.
     val unioned = old.unionByName(aligned)
-    val winners = SnapTable.lwwWinners(unioned, reduceSchema, math.max(1, touched.size))
+    val winners = SnapTable.lwwWinners(unioned, carrySchema, math.max(1, touched.size))
     val newVersion = snap.version + 1
     val commitRel = SnapTable.commitDir(newVersion)
     withLwwAggConf(spark) {
@@ -837,11 +863,13 @@ object SnapTable {
       if (s.fieldNames.contains(d.name)) s
       else s.add(StructField(d.name, d.dataType, nullable = true)))
 
-  /** Drop derived columns from the schema the LWW reduce runs over — they
-    * are pure functions of the winner row, so carrying them (even as
-    * nulls: UnsafeRow slots are fixed-width) through the shuffle+sort of
-    * every change event costs more than re-deriving the rewritten buckets'
-    * winners afterwards. */
+  /** Drop derived columns from the schema the replay-regime LWW reduce
+    * runs over — they are pure functions of the winner row, and when the
+    * batch dominates the stored side, carrying them (even as nulls:
+    * UnsafeRow slots are fixed-width) through the shuffle of every change
+    * event costs more than re-deriving the rewritten buckets' winners
+    * afterwards. The steady-state regime (stored >> batch) instead reduces
+    * under mergeAttempt's carrySchema so survivors keep stored values. */
   private[table] def withoutDerived(target: StructType, derived: Derived): StructType =
     if (derived.isEmpty) target
     else {

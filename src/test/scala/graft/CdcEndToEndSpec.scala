@@ -424,6 +424,32 @@ class CdcEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("steady-state merge carries stored derived values; survivors do not re-derive") {
+    import org.apache.spark.sql.types.IntegerType
+    val t = SnapTable.create(spark, tmpDir("table-carry"), Schemas.payloadV2, numBuckets = 4)
+    val acc = spark.sparkContext.longAccumulator("derive-evals")
+    val counting = udf((s: String) => { acc.add(1); if (s == null) -1 else s.length })
+      .asNondeterministic()
+    val derived = graft.table.Derived(Nil,
+      Seq(graft.table.DerivedColumn("txt_len", IntegerType, counting(col("text")))))
+    def ev(i: Int, lsn: Long) = ChangeEvent(s"c$i", 1, "user", s"text number $i", null,
+      new java.sql.Timestamp(1000L + lsn), lsn, "U")
+    // epoch 0: empty table, batch dominates -> bare-reduce regime, every
+    // fresh winner derives once
+    t.merge((1 to 100).map(i => ev(i, 100 + i)).toDF(), 0, None, derived, Some(100L))
+    assert(acc.value >= 100, s"every epoch-0 winner must derive, got ${acc.value}")
+    acc.reset()
+    // epoch 1: 5 updates into a 100-row table -> carry regime; the ~95
+    // survivors keep their stored txt_len (coalesce short-circuits), only
+    // the fresh winners evaluate the derivation
+    t.merge((1 to 5).map(i => ev(i, 300 + i)).toDF(), 1, None, derived, Some(5L))
+    assert(acc.value <= 10, s"survivors re-derived: ${acc.value} evals for a 5-row batch")
+    val got = t.read(spark)
+    assert(got.count() === 100)
+    assert(got.filter(col("txt_len") =!= length(col("text"))).count() === 0,
+      "carried/derived txt_len must equal length(text) on every row")
+  }
+
   test("follow mode keeps tailing: a chunk delivered after start is ingested") {
     val log = tmpDir("changelog")
     val chunk1 = s"$log/chunk=00001"
