@@ -115,6 +115,15 @@ object Main {
         println(s"sync ${r.result}: fromLsn=${r.fromLsn} toLsn=${r.toLsn} " +
           s"rowsApplied=${r.rowsApplied} destVersion=${dest.currentVersion}")
 
+      case "sync-jdbc" =>
+        // incremental lake->RDBMS fan-out; watermark lives in the target DB
+        val source = SnapTable.load(spark, opts("source"))
+        val url = opts("url")
+        val connect = () => java.sql.DriverManager.getConnection(url)
+        val r = graft.cdc.Sync.toJdbc(spark, source, connect, opts("target"))
+        println(s"sync-jdbc ${r.result}: fromLsn=${r.fromLsn} toLsn=${r.toLsn} " +
+          s"upserts=${r.upserts} deletes=${r.deletes}")
+
       case "rebucket" =>
         val table = SnapTable.load(spark, opts("table"))
         table.rebucket(spark, opts("buckets").toInt)

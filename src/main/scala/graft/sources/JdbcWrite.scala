@@ -157,6 +157,67 @@ object JdbcWrite {
     (results.map(_._1).sum, results.map(_._2).sum)
   }
 
+  /**
+   * Apply LWW change STATES (one row per key, `opCol` = U/D) to a JDBC
+   * table as DELETE-by-key + (op != 'D') INSERT — the portable replace
+   * shape every dialect supports, where the reference leans on MySQL
+   * `REPLACE INTO` (reference: plugin-rdbms-util/.../writer/WriterUtil
+   * .java:71-122 writeMode templates). Within a batch chunk all deletes
+   * execute before all inserts, which is safe exactly because each key
+   * appears at most once in a change-state frame. Idempotent: re-applying
+   * the same states converges to the same table, so task retry and
+   * crash-replay give at-least-once delivery with exactly-once effect.
+   * Returns (upserts, deletes).
+   */
+  def applyChanges(df: DataFrame, connect: () => Connection, table: String,
+      keyCols: Seq[String], opCol: String = "op",
+      batchSize: Int = 1024): (Long, Long) = {
+    val cols = df.columns.toSeq
+    val dataCols = cols.filterNot(_ == opCol)
+    val keyIdx = keyCols.map(cols.indexOf)
+    val dataIdx = dataCols.map(cols.indexOf)
+    val opIdx = cols.indexOf(opCol)
+    require(keyIdx.forall(_ >= 0) && opIdx >= 0,
+      s"applyChanges needs $keyCols and '$opCol' in ${cols.mkString(",")}")
+    val delSql = s"DELETE FROM $table WHERE " +
+      keyCols.map(k => s"$k = ?").mkString(" AND ")
+    val insSql = template(Insert, table, dataCols)
+    val results = df.rdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val conn = connect()
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(delSql)
+          val ins = conn.prepareStatement(insSql)
+          var ups = 0L; var dels = 0L; var pending = 0
+          def flush(): Unit = if (pending > 0) {
+            del.executeBatch(); ins.executeBatch(); conn.commit(); pending = 0
+          }
+          rows.foreach { r =>
+            keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+              del.setObject(pi + 1, r.get(ci))
+            }
+            del.addBatch()
+            if (r.getString(opIdx) == "D") dels += 1
+            else {
+              dataIdx.zipWithIndex.foreach { case (ci, pi) =>
+                if (r.isNullAt(ci)) ins.setObject(pi + 1, null)
+                else ins.setObject(pi + 1, r.get(ci))
+              }
+              ins.addBatch(); ups += 1
+            }
+            pending += 1
+            if (pending >= batchSize) flush()
+          }
+          flush()
+          Iterator.single((ups, dels))
+        } finally conn.close()
+      }
+    }.collect()
+    (results.map(_._1).sum, results.map(_._2).sum)
+  }
+
   /** Execute statements sequentially on one fresh connection. */
   def runSqls(connect: () => Connection, sqls: Seq[String]): Unit = {
     val conn = connect()

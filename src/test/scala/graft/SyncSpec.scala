@@ -78,4 +78,76 @@ class SyncSpec extends SparkSpec {
       .as[String].head() == "search")
     assert(state(dst) == state(src))
   }
+
+  // ---- lake -> RDBMS fan-out (embedded Derby) ------------------------------
+
+  private def derbyConnect(db: String): () => java.sql.Connection =
+    () => java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;create=true")
+
+  private def createServing(connect: () => java.sql.Connection, table: String): Unit = {
+    val c = connect()
+    try c.createStatement().execute(
+      s"CREATE TABLE $table (conv_id VARCHAR(64) NOT NULL, turn_idx INT NOT NULL, " +
+        "role VARCHAR(16), text VARCHAR(256), tool VARCHAR(64), ts TIMESTAMP, " +
+        s"lsn BIGINT, PRIMARY KEY (conv_id, turn_idx))")
+    finally c.close()
+  }
+
+  private def servingState(connect: () => java.sql.Connection,
+      table: String): Set[(String, String)] = {
+    val c = connect()
+    try {
+      val rs = c.createStatement().executeQuery(s"SELECT conv_id, text FROM $table")
+      val b = Set.newBuilder[(String, String)]
+      while (rs.next()) b += ((rs.getString(1), rs.getString(2)))
+      b.result()
+    } finally c.close()
+  }
+
+  test("jdbc fan-out: bootstrap, incremental, deletes, no-change, crash-replay") {
+    val src = SnapTable.create(spark, tmpDir("jsrc"), Schemas.payloadV2, numBuckets = 8)
+    CdcPipeline.applyBatch(src, (1 to 40).map(i => ev(i, 100 + i, "I")).toDF(), 0)
+    val connect = derbyConnect("jsyncdb")
+    createServing(connect, "serving")
+
+    val r1 = Sync.toJdbc(spark, src, connect, "serving")
+    assert(r1.result == "committed" && r1.fromLsn == -1L && r1.toLsn == 140L)
+    assert(r1.upserts == 40 && r1.deletes == 0)
+    assert(servingState(connect, "serving") == state(src))
+
+    // incremental: one update, one delete — only the delta ships
+    CdcPipeline.applyBatch(src, Seq(ev(5, 201, "U"), ev(7, 202, "D")).toDF(), 1)
+    val r2 = Sync.toJdbc(spark, src, connect, "serving")
+    assert(r2.result == "committed" && r2.fromLsn == 140L)
+    assert(r2.upserts == 1 && r2.deletes == 1, s"got $r2")
+    assert(servingState(connect, "serving") == state(src))
+
+    // nothing new: the in-DB watermark short-circuits before any scan
+    assert(Sync.toJdbc(spark, src, connect, "serving").result == "no_change")
+
+    // crash between apply and watermark advance: rewinding the watermark
+    // simulates it — the replay re-applies the same states and converges
+    val c = connect()
+    c.createStatement().execute(
+      "UPDATE graft_sync_state SET lsn = 140 WHERE tgt = 'serving'")
+    c.close()
+    val r4 = Sync.toJdbc(spark, src, connect, "serving")
+    assert(r4.result == "committed" && r4.upserts == 1 && r4.deletes == 1)
+    assert(servingState(connect, "serving") == state(src))
+  }
+
+  test("jdbc fan-out ships one LATEST state per key from a mor source") {
+    val src = SnapTable.create(spark, tmpDir("jsrc-mor"), Schemas.payloadV2, numBuckets = 8)
+    val mor = PipelineOptions(mergeMode = "mor")
+    CdcPipeline.applyBatch(src, (1 to 30).map(i => ev(i, 100 + i, "I")).toDF(), 0, mor)
+    CdcPipeline.applyBatch(src, (1 to 10).map(i => ev(i, 200 + i, "U")).toDF(), 1, mor)
+    assert(src.deltaFileCount > 0) // 40 change states live on disk for 30 keys
+    val connect = derbyConnect("jsyncmordb")
+    createServing(connect, "serving_mor")
+    val r = Sync.toJdbc(spark, src, connect, "serving_mor")
+    // the LWW pre-reduce collapses the 40 states to 30 latest ones — the
+    // database never sees a stale intermediate
+    assert(r.upserts == 30 && r.deletes == 0, s"got $r")
+    assert(servingState(connect, "serving_mor") == state(src))
+  }
 }
