@@ -426,6 +426,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // inverted-file ANN: deterministic coarse centroids (every 10th id),
+      // probe the 4 nearest clusters, exact rank within candidates — the
+      // oracle rebuilds the same inverted lists in SQL
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+        centroidStride = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal plumbing (decode stubbed, Spark plumbing real) -------
 
     "q_multimodal" -> ((s, dir) => {
@@ -783,7 +793,40 @@ object SparkEntry {
 
     "q_simhash" -> simhashOracle,
 
-    "q_ann_lsh" -> annLshOracle
+    "q_ann_lsh" -> annLshOracle,
+
+    "q_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |), scored AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS ccos
+        |  FROM embeddings e CROSS JOIN cent c
+        |), assign AS (
+        |  SELECT id AS neighbor_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |      ORDER BY ccos DESC, cid) AS r FROM scored)
+        |  WHERE r = 1
+        |), probes AS (
+        |  SELECT id AS query_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |      ORDER BY ccos DESC, cid) AS r FROM scored WHERE id < 10)
+        |  WHERE r <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assign a ON p.cid = a.cid
+        |  WHERE a.neighbor_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                             CAST(ce.embedding AS DOUBLE[])) DESC,
+        |      cand.neighbor_id) AS rank
+        |  FROM cand
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** Exhaustive word-3-gram jaccard pairs >= 0.5 — oracle for both the exact

@@ -129,6 +129,54 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN top-k — the second scale path next to
+   * [[lshTopK]]: coarse-quantize the corpus against a small deterministic
+   * centroid set (every `centroidStride`-th id — at real scale a k-means
+   * refinement slots into the same plan), build the inverted lists as a
+   * cluster-assignment table, then probe each query's `nprobe` nearest
+   * clusters and rank exactly within the probed candidates.
+   *
+   * Plan shape at 10^10 rows: assignment is a broadcast nested-loop of
+   * corpus x centroids whose per-id argmax reduces MAP-SIDE (max_by
+   * partials — the shuffle carries n rows, not n*k; a window here would
+   * shuffle the full n*k cross product), candidates come from an EQUI-join
+   * on the cluster id (bounded by inverted-list sizes, never n^2), and the
+   * final exact rank touches only probed candidates. Recall is governed by
+   * nprobe/centroids — verified against [[bruteForceTopK]] in
+   * OperatorsSpec.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      centroidStride: Int = 10, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(corpus
+      .filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+    def scoredAgainstCentroids(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as("__v"))
+        .crossJoin(cent)
+        .withColumn("__ccos", cosim(col("__v"), col("cvec")))
+    // inverted lists: argmax centroid per corpus row, tie on smaller cid
+    val lists = scoredAgainstCentroids(ensureParallelism(corpus), "neighbor_id")
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cid"), struct(col("__ccos"), -col("cid"))).as("cid"))
+    // query probes: nprobe nearest clusters (query set is small — window)
+    val wp = Window.partitionBy("query_id").orderBy(col("__ccos").desc, col("cid"))
+    val probes = scoredAgainstCentroids(queries, "query_id")
+      .withColumn("__r", row_number().over(wp)).filter(col("__r") <= nprobe)
+      .select("query_id", "cid")
+    val cand = probes.join(lists, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("cos", cosim(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
    * LSH ANN top-k: candidates = corpus rows sharing any hash-table bucket
    * with the query, then exact cosine rank within candidates. Recall vs
    * [[bruteForceTopK]] is property-tested; tables/nbits trade recall for

@@ -164,6 +164,30 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.99, s"recall $recall below the computed-table bound")
   }
 
+  test("IVF ANN recall vs brute force; plan has no shuffled cross product") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, dim = 64,
+      centroidStride = 10, nprobe = 4)
+    val approx = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the synthetic embeddings are nearly isotropic (little cluster
+    // structure for a coarse quantizer to exploit), so the absolute bound
+    // is modest — still ~5x better than the 4/50 random-probe floor; the
+    // load-bearing correctness check is the nprobe=ALL equivalence below
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.25, s"IVF recall $recall below the 4-of-50-cluster bound")
+    // raising nprobe must not lose neighbors (monotone recall)
+    val wide = Similarity.ivfTopK(emb, queries, k = 5, dim = 64,
+        centroidStride = 10, nprobe = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(wide == exact, "probing every cluster must equal brute force")
+    // the centroid scoring is a broadcast nested loop, never a shuffled
+    // cartesian: no CartesianProduct operator in the physical plan
+    val plan = ivf.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"shuffled cross product:\n$plan")
+  }
+
   test("cosine expression matches scala computation") {
     val rows = emb.limit(3).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
