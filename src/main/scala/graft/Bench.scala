@@ -62,8 +62,11 @@ object Bench {
       case "raw" => PipelineOptions()
       case "cow-epochs" => PipelineOptions(enrich = true, mergeMode = "cow")
       case "mor-epochs" => PipelineOptions(enrich = true, mergeMode = "mor")
+      case "steady-epochs" => PipelineOptions(enrich = true, mergeMode = "cow")
+      case "steady-epochs-mor" => PipelineOptions(enrich = true, mergeMode = "mor")
       case other => throw new IllegalArgumentException(
-        s"mode '$other' (expected enriched|raw|cow-epochs|mor-epochs)")
+        s"mode '$other' (expected enriched|raw|cow-epochs|mor-epochs|" +
+          "steady-epochs|steady-epochs-mor)")
     }
     if (!sys.env.contains("GRAFT_BENCH_NO_WARMUP")) {
       // warmup: JIT + codegen over one chunk, separate table
@@ -73,15 +76,37 @@ object Bench {
       System.err.println(f"[bench-child] warmup ${(System.nanoTime() - tw) / 1e9}%.1fs")
     }
     val table = SnapTable.create(spark, s"$work/table", Schemas.payloadV2, numBuckets = 32)
-    val t0 = System.nanoTime()
+    def chunkDirs(dir: String): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+    }
+    var t0 = System.nanoTime()
     val events =
-      if (mode.endsWith("-epochs")) {
-        // steady-state: one epoch per chunk dir, sequential commits
-        val fs = new org.apache.hadoop.fs.Path(logDir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val chunks = fs.listStatus(new org.apache.hadoop.fs.Path(logDir))
-          .filter(_.isDirectory).map(_.getPath.toString).sorted
+      if (mode.startsWith("steady-epochs")) {
+        // the long-running deployment steady state: bulk-load the full log
+        // as ONE untimed epoch, then time K SMALL epochs against the
+        // now-large table (batch << stored — per-epoch commit latency on a
+        // table the epoch doesn't dominate; this is where CoW rewrite
+        // amplification, MoR delta commits and the stored-enrichment carry
+        // regime actually show, which the chunk-sized -epochs legs can't)
+        CdcPipeline.replayBatch(spark, logDir, table, opts, epoch = 0L)
+        val tailEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_EVENTS", "400000").toLong
+        val tailChunks = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_CHUNKS", "8").toInt
+        val highLsn = table.maxAppliedLsn(spark)
+        ChangeStreamGen.writeChangelog(spark,
+          GenConfig(numEvents = tailEvents,
+            numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_CONVS", "40000").toInt,
+            chunks = tailChunks, lsnOffset = highLsn + 1), s"$work/tail")
+        val chunks = chunkDirs(s"$work/tail")
+        t0 = System.nanoTime()
         chunks.zipWithIndex.map { case (dir, i) =>
+          CdcPipeline.replayBatch(spark, dir, table, opts, epoch = i + 1L).rowsIn
+        }.sum
+      } else if (mode.endsWith("-epochs")) {
+        // chunk-sized epochs from an empty table: sequential commits
+        chunkDirs(logDir).zipWithIndex.map { case (dir, i) =>
           CdcPipeline.replayBatch(spark, dir, table, opts, epoch = i.toLong).rowsIn
         }.sum
       } else CdcPipeline.replayBatch(spark, logDir, table, opts).rowsIn
@@ -165,6 +190,8 @@ object Bench {
   private val raw = TrieMap[Int, Level]()
   private val cowEpochs = TrieMap[Int, Level]()
   private val morEpochs = TrieMap[Int, Level]()
+  private val steadyCow = TrieMap[Int, Level]()
+  private val steadyMor = TrieMap[Int, Level]()
   @volatile private var queryResults: Seq[(String, Double)] = Nil
   @volatile private var genSec = 0.0
   @volatile private var sfDirUsed = ""
@@ -200,6 +227,8 @@ object Bench {
     val cdc = f"""{"events":$events,"gen_sec":$genSec%.2f,""" +
       s""""enriched":${runsJson(enriched)},"raw":${runsJson(raw)},""" +
       s""""cow_epochs":${runsJson(cowEpochs)},"mor_epochs":${runsJson(morEpochs)},""" +
+      s""""steady_epochs_cow":${runsJson(steadyCow)},""" +
+      s""""steady_epochs_mor":${runsJson(steadyMor)},""" +
       s""""scaling_efficiency_N_to_4N_(1_to_4)":${eff(1, 4)},""" +
       s""""scaling_efficiency_8_to_32":${eff(8, 32)}}"""
     f"""{"metric":"cdc_enriched_events_per_sec_peak","value":$headlineThr%.0f,""" +
@@ -383,6 +412,11 @@ object Bench {
       measure(c, "raw", 1, raw)
       measure(c, "cow-epochs", 1, cowEpochs)
       measure(c, "mor-epochs", 1, morEpochs)
+      // small epochs against the bulk-loaded table (the deployed steady
+      // state); events here are the TAIL events, so events_per_sec is
+      // small-epoch apply throughput including per-epoch commit latency
+      measure(c, "steady-epochs", 1, steadyCow)
+      measure(c, "steady-epochs-mor", 1, steadyMor)
     }
 
     // ---- criterion retry: the 1->4 pair is the north-rule evidence. If a

@@ -36,7 +36,13 @@ final case class GenConfig(
     pDelete: Double = 0.02,
     oooWindow: Int = 1000,
     evolveFrac: Double = 0.6,
-    chunks: Int = 10) {
+    chunks: Int = 10,
+    /** Shift lsn/ts/text-revision by this base so a SECOND generated
+      * changelog reads as a strictly-later tail of the same stream (its
+      * events update the same conversation keys with higher lsns) —
+      * delivery positions and key assignment stay in [0, numEvents) so
+      * chunking and skew shape are unchanged. */
+    lsnOffset: Long = 0L) {
   def evolvePoint: Long = (numEvents * evolveFrac).toLong
 }
 
@@ -68,7 +74,8 @@ object ChangeStreamGen {
         element_at(array(lit("user"), lit("assistant"), lit("tool"), lit("system")),
           (hmod(6, 4) + 1).cast("int")))
       .withColumn("ts",
-        (lit(1704067200L) + col("id") + hmod(7, 2L * cfg.oooWindow) - cfg.oooWindow)
+        (lit(1704067200L) + col("id") + lit(cfg.lsnOffset) +
+          hmod(7, 2L * cfg.oooWindow) - cfg.oooWindow)
           .cast("timestamp"))
       .withColumn("tool",
         when(col("id") >= cfg.evolvePoint && col("role") === "tool",
@@ -77,9 +84,9 @@ object ChangeStreamGen {
         when(hmod(9, 1000) < delPerMille, lit("D"))
           .otherwise(when(hmod(10, 3) === 0, lit("I")).otherwise(lit("U"))))
       .withColumn("text",
-        concat(col("conv_id"), lit("/t"), col("turn_idx"), lit(" rev"), col("id"),
-          lit(" "), sentence(h(11))))
-      .withColumn("lsn", col("id"))
+        concat(col("conv_id"), lit("/t"), col("turn_idx"), lit(" rev"),
+          col("id") + cfg.lsnOffset, lit(" "), sentence(h(11))))
+      .withColumn("lsn", col("id") + cfg.lsnOffset)
 
     // Exact duplicate re-delivery: the duplicate carries the SAME lsn and
     // payload, only its delivery position is pushed later.
