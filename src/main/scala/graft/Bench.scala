@@ -40,7 +40,8 @@ object Bench {
     "q_window_topk", "q_cdc_lww", "q_cdc_lww_salted", "q_event_window",
     "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_token_count",
     "q_quality", "q_lang_id", "q_fingerprint", "q_ann_topk", "q_ann_lsh",
-    "q_embedding_neardup", "q_dx_filter", "q_cast_ladder")
+    "q_ann_ivf", "q_embedding_neardup", "q_dx_filter", "q_dx_map",
+    "q_sniff_auto", "q_cast_ladder")
 
   private def newSession(cores: Int): SparkSession = {
     val s = GraftSession.builder(cores).getOrCreate()
@@ -371,9 +372,14 @@ object Bench {
     // extra rep so a single noisy run cannot push the ratio across the 0.8
     // line either way
     val criterionReps = math.max(repsPerLevel, 3)
-    Seq(1, 4).filter(coresList.contains).foreach(c =>
+    // query-only iteration knob (mirror of SKIP_QUERIES): leaves the CDC
+    // matrix out entirely so a per-query pass fits a quick quiet window
+    val skipCdc = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_CDC")
+    if (skipCdc) skipped.add("cdc-matrix")
+    val cdcCores = if (skipCdc) Nil else coresList
+    Seq(1, 4).filter(cdcCores.contains).foreach(c =>
       measure(c, "enriched", criterionReps, enriched))
-    coresList.filterNot(Seq(1, 4).contains).foreach(c =>
+    cdcCores.filterNot(Seq(1, 4).contains).foreach(c =>
       measure(c, "enriched", repsPerLevel, enriched))
 
     // ---- headline queries, PASS 1 (one pass runs BEFORE the secondary CDC
@@ -408,7 +414,7 @@ object Bench {
       else { if (!skipQueries) skipped.add("queries"); Map.empty }
 
     // secondary evidence, budget permitting
-    Seq(8).filter(coresList.contains).foreach { c =>
+    Seq(8).filter(cdcCores.contains).foreach { c =>
       measure(c, "raw", 1, raw)
       measure(c, "cow-epochs", 1, cowEpochs)
       measure(c, "mor-epochs", 1, morEpochs)
@@ -439,7 +445,7 @@ object Bench {
             persistSnapshot()
         }
       }
-      val pair = Seq(1, 4).filter(coresList.contains)
+      val pair = Seq(1, 4).filter(cdcCores.contains)
       val suspect = pair.exists(c => enriched.get(c).exists(_.contended)) ||
         (effNum(1, 4).exists(_ < 0.85) &&
           pair.exists(c => enriched.get(c).exists(_.repLoads.exists(_ > 1.0))))
