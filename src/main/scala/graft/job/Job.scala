@@ -244,6 +244,11 @@ object Job {
         spark.read.schema(Schemas.envelope)
           .option("recursiveFileLookup", "true")
           .parquet((p.parameter \ "path").extract[String])
+      case "rdbmsreader" | "jdbcreader" | "mysqlreader" | "oraclereader" |
+           "postgresqlreader" | "sqlserverreader" | "derbyreader" =>
+        // the reference's CommonRdbmsReader family: dialect from the
+        // jdbcUrl, splitPk predicate planning, querySql passthrough
+        JdbcLane.read(spark, p.parameter, channels)
       case other => throw new IllegalArgumentException(s"unknown reader '$other'")
     }
 
@@ -335,6 +340,11 @@ object Job {
             (p.parameter \ "buckets").extractOpt[Int].getOrElse(32))
         val rec = CdcPipeline.applyBatch(table, df, epoch = epochBase + chunk)
         Some(rec.rowsApplied)
+      case "rdbmswriter" | "jdbcwriter" | "mysqlwriter" | "oraclewriter" |
+           "postgresqlwriter" | "sqlserverwriter" | "derbywriter" | "adswriter" =>
+        // CommonRdbmsWriter family: batched write with row-by-row dirty
+        // replay, insert/replace/update templates, pre/postSql
+        Some(JdbcLane.write(df, p.parameter)._1)
       case other => throw new IllegalArgumentException(s"unknown writer '$other'")
     }
   }

@@ -402,4 +402,72 @@ class JobSpec extends SparkSpec {
       .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got == expected.map(e => (e.conv_id, e.turn_idx, e.text)))
   }
+
+  test("jdbc reader -> transformer -> jdbc writer job (the reference's core shape)") {
+    // seed the source database
+    val c = java.sql.DriverManager.getConnection("jdbc:derby:memory:jobsrc;create=true")
+    c.createStatement().execute(
+      "CREATE TABLE src (id BIGINT, name VARCHAR(32), score INT)")
+    val ins = c.prepareStatement("INSERT INTO src VALUES (?, ?, ?)")
+    for (i <- 1 to 200) { ins.setLong(1, i); ins.setString(2, f"name$i%03d")
+      ins.setInt(3, i % 7); ins.executeUpdate() }
+    c.createStatement().execute(
+      "CREATE TABLE dst (id BIGINT, name VARCHAR(40), score INT)")
+    c.close()
+    val json =
+      """{"job": {
+        |  "setting": {"speed": {"channel": 4}},
+        |  "content": [{
+        |    "reader": {"name": "derbyreader", "parameter": {
+        |      "username": "app", "password": "app",
+        |      "connection": [{"jdbcUrl": ["jdbc:derby:memory:jobsrc"],
+        |                      "table": ["src"]}],
+        |      "column": ["id", "name", "score"], "splitPk": "id",
+        |      "where": "score <> 3"}},
+        |    "transformer": [{"name": "dx_pad", "parameter": {
+        |      "columnName": "name", "paras": ["r", "10", "_"]}}],
+        |    "writer": {"name": "derbywriter", "parameter": {
+        |      "username": "app", "password": "app", "writeMode": "insert",
+        |      "connection": [{"jdbcUrl": "jdbc:derby:memory:jobsrc",
+        |                      "table": ["dst"]}],
+        |      "preSql": ["DELETE FROM dst"]}}}]}}
+        |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    assert(report.states.last == Job.Succeeded)
+    // 200 rows minus the score=3 ones (ids 3,10,17,... = 28 rows)
+    val expected = (1 to 200).count(_ % 7 != 3)
+    assert(report.rowsRead == expected && report.rowsWritten == expected,
+      s"read=${report.rowsRead} written=${report.rowsWritten} expected=$expected")
+    val c2 = java.sql.DriverManager.getConnection("jdbc:derby:memory:jobsrc")
+    val rs = c2.createStatement().executeQuery(
+      "SELECT COUNT(*), MIN(LENGTH(name)), MAX(LENGTH(name)) FROM dst")
+    rs.next()
+    assert(rs.getInt(1) == expected)
+    assert(rs.getInt(2) == 10 && rs.getInt(3) == 10, "dx_pad to width 10 must apply")
+    val rs2 = c2.createStatement().executeQuery("SELECT COUNT(*) FROM dst WHERE score = 3")
+    rs2.next(); assert(rs2.getInt(1) == 0, "where must push into the slices")
+    c2.close()
+  }
+
+  test("jdbc reader querySql mode unions user statements verbatim") {
+    val c = java.sql.DriverManager.getConnection("jdbc:derby:memory:jobq;create=true")
+    c.createStatement().execute("CREATE TABLE q1 (id BIGINT, v VARCHAR(8))")
+    c.createStatement().execute("INSERT INTO q1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    c.close()
+    val out = s"${tmpDir("jdbcq")}/res"
+    val json =
+      s"""{"job": {
+         |  "setting": {"speed": {"channel": 1}},
+         |  "content": [{
+         |    "reader": {"name": "rdbmsreader", "parameter": {
+         |      "connection": [{"jdbcUrl": ["jdbc:derby:memory:jobq"]}],
+         |      "querySql": ["SELECT id, v FROM q1 WHERE id <= 2",
+         |                   "SELECT id, v FROM q1 WHERE id > 2"]}},
+         |    "writer": {"name": "parquetwriter", "parameter": {"path": "$out"}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    assert(spark.read.parquet(out).count() == 3)
+  }
 }
