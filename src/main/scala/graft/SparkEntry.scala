@@ -463,6 +463,31 @@ object SparkEntry {
     // state as the copy-on-write path
     "q_cdc_pipeline_mor" -> ((s, dir) => cdcPipelineReplay(s, dir, "mor")),
 
+    // lake -> RDBMS fan-out, end-to-end: replay the events changelog into a
+    // snapshot table (batch merge), sync its change feed to an embedded
+    // Derby serving table (LWW pre-reduce, delete+insert apply, in-DB
+    // watermark), then read the SERVING DATABASE back — final serving
+    // state must equal the window-rank LWW oracle
+    "q_sync_jdbc" -> ((s, dir) => {
+      import graft.sources.JdbcDialect
+      val work = java.nio.file.Files.createTempDirectory("graft-syncq").toString
+      val table = SnapTable.create(s, s"$work/table", Schemas.payloadV2, numBuckets = 16)
+      // parquet surfaces ts as TIMESTAMP_NTZ (Spark 4 NTZ inference); the
+      // table's envelope is instant-typed — same micros under UTC session
+      CdcPipeline.applyBatch(table,
+        eventsAsChangelog(t(s, dir, "events"))
+          .withColumn("ts", col("ts").cast("timestamp")), epoch = 0)
+      val db = "graftsyncq" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db"
+      val connect = () => java.sql.DriverManager.getConnection(s"$url;create=true")
+      val r = graft.cdc.Sync.toJdbc(s, table, connect, "serving")
+      require(r.result == "committed", s"sync returned $r")
+      s.read.jdbc(url, "serving", JdbcDialect.readerProps(JdbcDialect.Derby, "app", "app"))
+        .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+          col("role"), col("text"), unix_micros(col("ts")).as("ts_us"), col("lsn"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // mid-stream schema evolution through the REAL pipeline (SURVEY.md
     // §4.4): the changelog's low-lsn files are written WITHOUT the tool
     // column (payload v1) and the high-lsn files carry it; the table is
@@ -763,6 +788,19 @@ object SparkEntry {
         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "q_cdc_pipeline_mor" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_sync_jdbc" ->
       """WITH chg AS (
         |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
         |         CAST(event_id % 50 AS INT) AS turn_idx,
