@@ -114,6 +114,24 @@ object JdbcLane {
     } finally c.close()
   }
 
+  /** Reference preCheck analogue for the writer side (WriterUtil
+    * preCheckPrePareSQL / DBUtil connectivity probes): parse the config
+    * eagerly (a bad writeMode fails HERE, not mid-load), connect, and
+    * probe target-table visibility with a zero-row select. No data moves. */
+  def preCheckWrite(param: JValue): Seq[String] =
+    try {
+      val conn0 = connection(param)
+      val rawUrl = firstString(conn0 \ "jdbcUrl")
+      val dialect = JdbcDialect.of(rawUrl)
+      val (user, pass) = credentials(param)
+      JdbcWrite.parseMode((param \ "writeMode").extractOpt[String].getOrElse("insert"))
+      val table = firstString(conn0 \ "table")
+      val c = DriverManager.getConnection(dialect.writerUrl(rawUrl), user, pass)
+      try c.createStatement().executeQuery(s"SELECT * FROM $table WHERE 1=0")
+      finally c.close()
+      Nil
+    } catch { case e: Throwable => Seq(e.getMessage) }
+
   /** Returns (written, dirty). */
   def write(df: DataFrame, param: JValue): (Long, Long) = {
     val conn = connection(param)

@@ -472,6 +472,9 @@ object Job {
         case "snaptablewriter" =>
           if ((wp \ "path").extractOpt[String].isEmpty) problems += s"${tag}writer: missing path"
         case "streamwriter" => ()
+        case "rdbmswriter" | "jdbcwriter" | "mysqlwriter" | "oraclewriter" |
+             "postgresqlwriter" | "sqlserverwriter" | "derbywriter" | "adswriter" =>
+          JdbcLane.preCheckWrite(wp).foreach(p => problems += s"${tag}writer: $p")
         case other => problems += s"${tag}writer: unknown plugin '$other'"
       }
     }

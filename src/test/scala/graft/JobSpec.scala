@@ -432,6 +432,15 @@ class JobSpec extends SparkSpec {
         |                      "table": ["dst"]}],
         |      "preSql": ["DELETE FROM dst"]}}}]}}
         |""".stripMargin
+    // preCheck validates both JDBC ends without moving rows: connectivity,
+    // table visibility, writeMode parse
+    assert(Job.preCheck(spark, json).isEmpty, Job.preCheck(spark, json))
+    assert(Job.preCheck(spark,
+        json.replace("\"table\": [\"dst\"]", "\"table\": [\"no_such\"]"))
+      .exists(_.toLowerCase.contains("no_such")), "missing target must fail preCheck")
+    assert(Job.preCheck(spark,
+        json.replace("\"writeMode\": \"insert\"", "\"writeMode\": \"bogus\""))
+      .nonEmpty, "bad writeMode must fail preCheck")
     val report = Job.run(spark, json)
     assert(report.error.isEmpty, report.error)
     assert(report.states.last == Job.Succeeded)
