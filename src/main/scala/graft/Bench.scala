@@ -460,6 +460,8 @@ object Bench {
         }
         if (hostLoad1() <= 1.5 && remainingS > needS) pair.foreach(oneMoreRep)
         else skipped.add("criterion-retry-no-quiet-window")
+      } else if (pair.size == 2 && suspect) {
+        skipped.add("criterion-retry-no-budget")
       }
     }
 
