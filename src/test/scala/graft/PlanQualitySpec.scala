@@ -87,6 +87,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(lsh == exact, s"LSH near-dup recall broke: ${exact.diff(lsh)}")
   }
 
+  test("IVF assignment broadcasts centroids and reduces the argmax map-side") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 5), k = 3, dim = 64)
+    val s = planString(df)
+    // corpus x centroids must be a BROADCAST nested loop (centroids are
+    // tiny), never a shuffled cartesian of the corpus
+    assert(s.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"shuffled cross product:\n$s")
+    // the per-row argmax is a hash aggregation with a map-side partial —
+    // the shuffle carries one row per corpus vector, not the n*k product
+    assert(s.contains("partial_max_by") || s.contains("partial_maxby")
+        || s.toLowerCase.contains("partial"), s"no map-side partial argmax:\n$s")
+    assert(s.contains("HashAggregate"), s"argmax must hash-aggregate:\n$s")
+  }
+
   test("write-time derivation evaluates the textStats prelude once per row") {
     val df = spark.range(5).select(
         concat(lit("c"), col("id")).as("conv_id"), lit(1).as("turn_idx"),
