@@ -495,7 +495,7 @@ object SparkEntry {
     // winners surfacing tool = null
     "q_cdc_schema_evo" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val half = ev.agg(max("event_id")).head.getLong(0) / 2
+      val half = ev.agg(max("event_id")).head().getLong(0) / 2
       val chg = eventsAsChangelog(ev)
       val work = java.nio.file.Files.createTempDirectory("graft-cdcevo").toString
       chg.filter(col("lsn") < half).drop("tool")

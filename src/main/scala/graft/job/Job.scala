@@ -376,7 +376,7 @@ object Job {
     speed.record.orElse(speed.byte.map { b =>
       val df = probe
       val row = df.limit(256)
-        .select(avg(length(to_json(struct(df.columns.map(col): _*)))).as("w"))
+        .select(avg(length(to_json(struct(df.columns.toIndexedSeq.map(col): _*)))).as("w"))
         .head()
       val rowBytes = if (row.isNullAt(0)) 64.0 else math.max(1.0, row.getDouble(0))
       math.max(1L, (b / rowBytes).toLong)
@@ -403,7 +403,7 @@ object Job {
     if (total <= cap) return Seq(df)
     var acc = 0L
     val offsets = counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
-    val offsetOf = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val offsetOf = map(offsets.toIndexedSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
     val chunkIdx = floor((element_at(offsetOf, spark_partition_id()) + partitionOrdinal)
       / cap).cast("int")
     val tagged = df.withColumn("__chunk", chunkIdx)

@@ -846,8 +846,8 @@ object SnapTable {
     df.repartition(numParts, col(BucketCol))
       .groupBy((graft.model.Schemas.mergeKeys :+ BucketCol).map(col): _*)
       .agg(graft.functions.LwwWinner.lwwWinner(
-        struct(dataCols.map(col): _*), col("ts"), col("lsn")).as("w"))
-      .select(col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n)): _*)
+        struct(dataCols.toIndexedSeq.map(col): _*), col("ts"), col("lsn")).as("w"))
+      .select((col(BucketCol) +: dataCols.map(n => col(s"w.$n").as(n))).toIndexedSeq: _*)
   }
 
   /** Data directory for one commit ATTEMPT: version-prefixed for humans,
