@@ -459,6 +459,36 @@ class JobSpec extends SparkSpec {
     c2.close()
   }
 
+  test("jdbc reader splits on a VARCHAR pk through the radix-128 planner") {
+    val c = java.sql.DriverManager.getConnection("jdbc:derby:memory:jobstr;create=true")
+    c.createStatement().execute("CREATE TABLE s1 (code VARCHAR(12), n INT)")
+    val ins = c.prepareStatement("INSERT INTO s1 VALUES (?, ?)")
+    val rnd = new scala.util.Random(17)
+    for (i <- 1 to 150) {
+      ins.setString(1, rnd.alphanumeric.take(6).mkString); ins.setInt(2, i)
+      ins.executeUpdate()
+    }
+    c.close()
+    val out = s"${tmpDir("jdbcstr")}/res"
+    val json =
+      s"""{"job": {
+         |  "setting": {"speed": {"channel": 4}},
+         |  "content": [{
+         |    "reader": {"name": "rdbmsreader", "parameter": {
+         |      "connection": [{"jdbcUrl": ["jdbc:derby:memory:jobstr"],
+         |                      "table": ["s1"]}],
+         |      "splitPk": "code"}},
+         |    "writer": {"name": "parquetwriter", "parameter": {"path": "$out"}}}]}}
+         |""".stripMargin
+    val report = Job.run(spark, json)
+    assert(report.error.isEmpty, report.error)
+    // every row read exactly once across the string slices
+    assert(report.rowsRead == 150 && report.rowsWritten == 150,
+      s"read=${report.rowsRead} written=${report.rowsWritten}")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 150 && got.select("N").as[Int].collect().sum == (1 to 150).sum)
+  }
+
   test("jdbc reader querySql mode unions user statements verbatim") {
     val c = java.sql.DriverManager.getConnection("jdbc:derby:memory:jobq;create=true")
     c.createStatement().execute("CREATE TABLE q1 (id BIGINT, v VARCHAR(8))")
