@@ -116,13 +116,30 @@ object Main {
           s"rowsApplied=${r.rowsApplied} destVersion=${dest.currentVersion}")
 
       case "sync-jdbc" =>
-        // incremental lake->RDBMS fan-out; watermark lives in the target DB
+        // incremental lake->RDBMS fan-out; watermark lives in the target DB.
+        // --follow-ms polls the source like ingest's follow mode (a no-change
+        // round is two metadata reads, no scan); --max-rounds bounds it for
+        // demos/tests — omit for a run-until-killed deployment.
         val source = SnapTable.load(spark, opts("source"))
         val url = opts("url")
         val connect = () => java.sql.DriverManager.getConnection(url)
-        val r = graft.cdc.Sync.toJdbc(spark, source, connect, opts("target"))
-        println(s"sync-jdbc ${r.result}: fromLsn=${r.fromLsn} toLsn=${r.toLsn} " +
-          s"upserts=${r.upserts} deletes=${r.deletes}")
+        def once(): Unit = {
+          val r = graft.cdc.Sync.toJdbc(spark, source, connect, opts("target"))
+          println(s"sync-jdbc ${r.result}: fromLsn=${r.fromLsn} toLsn=${r.toLsn} " +
+            s"upserts=${r.upserts} deletes=${r.deletes}")
+        }
+        opts.get("follow-ms").map(_.toLong) match {
+          case None => once()
+          case Some(ms) =>
+            val maxRounds = opts.get("max-rounds").map(_.toInt)
+            var rounds = 0
+            var go = true
+            while (go) {
+              once()
+              rounds += 1
+              if (maxRounds.exists(rounds >= _)) go = false else Thread.sleep(ms)
+            }
+        }
 
       case "rebucket" =>
         val table = SnapTable.load(spark, opts("table"))
