@@ -92,9 +92,13 @@ object Main {
         }
 
       case "show" =>
+        // --version N time-travels to an older retained snapshot
         val table = SnapTable.load(spark, opts("table"))
-        val df = table.read(spark).orderBy("conv_id", "turn_idx")
-        println(s"version=${table.currentVersion} liveRows=${df.count()}")
+        val version = opts.get("version").map(_.toLong).getOrElse(table.currentVersion)
+        val df = (if (version == table.currentVersion) table.read(spark)
+                  else table.readVersion(spark, version))
+          .orderBy("conv_id", "turn_idx")
+        println(s"version=$version liveRows=${df.count()}")
         df.show(opts.getOrElse("limit", "10").toInt, truncate = 60)
 
       case "compact" =>
