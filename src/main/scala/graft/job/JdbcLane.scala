@@ -67,8 +67,12 @@ object JdbcLane {
         .reduce(_ unionByName _)
     }
 
-    val tables = (conn \ "table").extract[List[String]]
-      .flatMap(JdbcSplit.expandTables)
+    val tables = ((conn \ "table") match {
+      case JArray(ts) => ts.map(_.extract[String])
+      case JString(s) => List(s)
+      case JNothing | JNull => Nil
+      case other => List(other.extract[String])
+    }).flatMap(JdbcSplit.expandTables)
     require(tables.nonEmpty, "jdbc reader needs connection.table or querySql")
     val where = (param \ "where").extractOpt[String].filter(_.trim.nonEmpty)
     val splitPk = (param \ "splitPk").extractOpt[String].filter(_.trim.nonEmpty)
