@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED: the bench artifact is one
+// bare JSON line on stdout that the round driver parses; sbt's default
+// LoggedOutput would wrap it as "[info] {...}", which is not valid JSON
+// (round-3 BENCH artifact came back `parsed: null` for exactly this reason).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -194,6 +194,7 @@ object Bench {
   private val steadyCow = TrieMap[Int, Level]()
   private val steadyMor = TrieMap[Int, Level]()
   @volatile private var queryResults: Seq[(String, Double)] = Nil
+  @volatile private var queryFailures: Set[String] = Set.empty
   @volatile private var genSec = 0.0
   @volatile private var sfDirUsed = ""
   @volatile private var budgetS = 0L
@@ -217,9 +218,14 @@ object Bench {
       }.mkString("{", ",", "}")
     def eff(a: Int, b: Int): String =
       effNum(a, b).map(e => f"$e%.3f").getOrElse("null")
-    val qs = queryResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // failed queries are EXCLUDED from the timing map (an exception returns
+    // fast and would read as a healthy sub-second query) and listed by name
+    val okResults = queryResults.filterNot { case (k, _) => queryFailures(k) }
+    val qs = okResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = queryResults.map(_._2).sum
+    val qFailed = queryFailures.toSeq.sorted
+      .map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val total = okResults.map(_._2).sum
     val events = enriched.values.headOption.map(_.events).getOrElse(0L)
     val headlineThr = enriched.values.map(thr).maxOption.getOrElse(0.0)
     import scala.jdk.CollectionConverters._
@@ -234,6 +240,7 @@ object Bench {
       s""""scaling_efficiency_8_to_32":${eff(8, 32)}}"""
     f"""{"metric":"cdc_enriched_events_per_sec_peak","value":$headlineThr%.0f,""" +
       f""""unit":"events/sec","total_query_sec":$total%.2f,"queries":$qs,""" +
+      s""""query_failures":$qFailed,""" +
       s""""cdc":$cdc,"sf":"$sfDirUsed","budget_s":$budgetS,"partial":$partial,""" +
       s""""skipped":$skippedJson}"""
   }
@@ -243,6 +250,11 @@ object Bench {
   private def emit(partial: Boolean): Unit = synchronized {
     if (!emitted) {
       emitted = true
+      // the sidecar file gets the FINAL artifact too (same JSON, true
+      // partial flag) — the driver can read either the bare stdout line
+      // (sbt outputStrategy = StdoutOutput, so no "[info] " prefix mangles
+      // it) or the well-known file
+      persistSnapshot(partial)
       println(buildJson(partial))
       System.out.flush()
     }
@@ -253,12 +265,12 @@ object Bench {
     * killing sbt takes the forked JVM's pipe with it — shutdown hooks
     * can't help); a file written as results accrue survives even SIGKILL,
     * so the freshest parseable artifact always exists on disk. */
-  private def persistSnapshot(): Unit =
+  private def persistSnapshot(partial: Boolean = true): Unit =
     try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT", "bench-latest.json"))
       java.nio.file.Files.write(p,
-        (buildJson(partial = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (buildJson(partial) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => () }
 
   def main(args: Array[String]): Unit = {
@@ -398,8 +410,16 @@ object Bench {
         if (remainingS < 30) { skipped.add(s"query-$name+"); over = true }
         else {
           val t0 = System.nanoTime()
-          try queries(name)(spark, sfDir).count()
-          catch { case _: Throwable => () }
+          // a broken query must not masquerade as a fast healthy one: it is
+          // recorded by NAME in query_failures and excluded from the timing
+          // map (correctness is independently oracle-gated; this keeps the
+          // bench artifact honest about what actually ran)
+          try { queries(name)(spark, sfDir).count(); () }
+          catch {
+            case t: Throwable =>
+              queryFailures += name
+              System.err.println(s"[bench] query $name FAILED: ${t.getMessage}")
+          }
           out += ((name, (System.nanoTime() - t0) / 1e9))
           if (queryResults.isEmpty || out.size > queryResults.size)
             queryResults = out.toSeq // incremental: a kill keeps pass-1 times
