@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
  *   gen    --out DIR [--events N] [--convs N] [--chunks N] [--seed N]
  *   ingest --changelog DIR --table DIR [--checkpoint DIR] [--mode stream|batch]
  *          [--buckets N] [--max-files-per-trigger N] [--max-bytes-per-trigger B]
+ *          [--source files|ledger]  # ledger = chunk-directory-offset source
+ *                                   # (O(chunks) driver listing per trigger,
+ *                                   # no seen-file map; 10^6+-file deployments)
  *          [--merge-mode cow|mor]   # mor = O(batch) delta commits + compaction
  *          [--follow-ms N]          # keep tailing the changelog (ProcessingTime
  *                                   # trigger) instead of drain-and-stop
@@ -69,6 +72,10 @@ object Main {
           // --follow-ms N keeps tailing the changelog dir at that poll
           // interval (runs until killed); default drains and stops
           followIntervalMs = opts.get("follow-ms").map(_.toLong),
+          // --source ledger tails via the chunk-directory-offset source
+          // (O(chunks) driver cost per trigger — the 10^6+-file shape);
+          // max-files-per-trigger then means max CHUNKS per trigger
+          ledgerSource = opts.get("source").contains("ledger"),
           // --retain-snapshots N enables the bounded-growth maintenance
           // loop a long-running --follow-ms deployment needs
           retention = opts.get("retain-snapshots").map(n =>
@@ -98,8 +105,12 @@ object Main {
         val df = (if (version == table.currentVersion) table.read(spark)
                   else table.readVersion(spark, version))
           .orderBy("conv_id", "turn_idx")
-        println(s"version=$version liveRows=${df.count()}")
-        df.show(opts.getOrElse("limit", "10").toInt, truncate = 60)
+        // one bounded scan: the display is a LIMIT query and the row count
+        // comes from the manifest (stored rows incl. tombstones/deltas)
+        // instead of a full df.count() pass before the show
+        val limit = opts.getOrElse("limit", "10").toInt
+        println(s"version=$version storedRows=${table.snapshot(version).rows}")
+        df.show(limit, truncate = 60)
 
       case "compact" =>
         val table = SnapTable.load(spark, opts("table"))

@@ -41,9 +41,15 @@ final case class RetentionPolicy(
     retainMetaEpochs: Int = 50,
     /** When set, delete-op tombstones with `lsn < maxAppliedLsn - lag` are
       * physically dropped (their buckets rewritten). The lag must exceed
-      * the source's maximum out-of-order window — a tombstone younger than
-      * the lag could still be outrun by a late stale update. None = keep
-      * every tombstone. */
+      * BOTH (a) the source's maximum out-of-order window — a tombstone
+      * younger than the lag could still be outrun by a late stale update —
+      * and (b) the maximum staleness of any incremental consumer
+      * ([[Sync.sync]]/[[Sync.toJdbc]] resume watermarks): a consumer whose
+      * watermark falls behind `maxAppliedLsn - lag` can never be delivered
+      * the expired deletes. Expiry stamps the horizon into the table
+      * manifest and the sync paths FAIL FAST (demanding a full resync) when
+      * a resume watermark is below it, so mis-sizing is loud, not silent.
+      * None = keep every tombstone. */
     tombstoneLsnLag: Option[Long] = None,
     /** Run the policy every N committed epochs (amortizes the maintenance
       * commits/scans across the steady state). */
@@ -82,7 +88,15 @@ final case class PipelineOptions(
     followIntervalMs: Option[Long] = None,
     /** Post-commit retention maintenance (None = unbounded growth — fine
       * for a bounded backfill, wrong for a follow-mode deployment). */
-    retention: Option[RetentionPolicy] = None)
+    retention: Option[RetentionPolicy] = None,
+    /** Tail the changelog through [[graft.streaming.ChunkLedgerSource]]
+      * (offset = chunk-directory watermark; per-trigger driver cost is one
+      * O(chunks) dir listing, no seen-file map) instead of Spark's built-in
+      * file source (which re-lists the whole tree and tracks every file) —
+      * the 10^6+-changelog-file deployment shape. Requires the chunk-dir
+      * layout contract documented on the source. `maxFilesPerTrigger` is
+      * then interpreted as max CHUNKS per trigger. */
+    ledgerSource: Boolean = false)
 
 /**
  * The end-to-end CDC pipeline: changelog tail -> dirty sideband -> LWW dedup
@@ -189,7 +203,7 @@ object CdcPipeline {
       }
       val rec = LineageRecord(epoch, parts, stats.clean + stats.dirty, stats.dirty,
         applied, buckets, (System.nanoTime() - t0) / 1000000L, result)
-      writeLineage(table, rec)
+      writeLineage(batch.sparkSession, table, rec)
       opts.retention.foreach { pol =>
         if (result == "committed" && epoch % math.max(1, pol.everyEpochs) == 0)
           applyRetention(batch.sparkSession, table, pol, epoch)
@@ -210,14 +224,17 @@ object CdcPipeline {
       if (maxLsn > lag) table.expireTombstones(spark, maxLsn - lag): Unit
     }
     table.expireSnapshots(pol.retainSnapshots): Unit
-    gcEpochMeta(table, epoch - pol.retainMetaEpochs)
+    gcEpochMeta(spark, table, epoch - pol.retainMetaEpochs)
   }
 
   /** Delete quarantine dirs and lineage records for epochs strictly below
     * `beforeEpoch`. */
-  private def gcEpochMeta(table: SnapTable, beforeEpoch: Long): Unit = {
+  private def gcEpochMeta(spark: SparkSession, table: SnapTable,
+      beforeEpoch: Long): Unit = {
     if (beforeEpoch <= 0) return
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // the SESSION's Hadoop conf, not a bare Configuration(): spark.hadoop.*
+    // settings (object-store credentials, endpoints) must reach the FS
+    val conf = spark.sessionState.newHadoopConf()
     for (sub <- Seq("dirty", "lineage")) {
       val dir = new org.apache.hadoop.fs.Path(table.root, s"meta/$sub")
       val fs = dir.getFileSystem(conf)
@@ -254,11 +271,12 @@ object CdcPipeline {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  private def writeLineage(table: SnapTable, rec: LineageRecord): Unit = {
+  private def writeLineage(spark: SparkSession, table: SnapTable,
+      rec: LineageRecord): Unit = {
     import org.json4s._
     import org.json4s.jackson.Serialization
     implicit val fmts: Formats = Serialization.formats(NoTypeHints)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(table.root, f"meta/lineage/epoch-${rec.epoch}%08d.json")
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
@@ -304,6 +322,31 @@ object CdcPipeline {
    */
   def stream(spark: SparkSession, changelogDir: String, table: SnapTable,
       checkpointDir: String, opts: PipelineOptions = PipelineOptions()): StreamingQuery = {
+    val trigger = opts.followIntervalMs
+      .map(ms => Trigger.ProcessingTime(ms)).getOrElse(Trigger.AvailableNow())
+    if (opts.ledgerSource) {
+      // chunk-ledger tail: the stream carries file MANIFEST rows (bounded:
+      // files of <= maxChunks chunk dirs per trigger); the batch body reads
+      // the listed parquet itself with the envelope schema, so pre-evolution
+      // files align exactly like the built-in path
+      val manifest = spark.readStream
+        .format(classOf[graft.streaming.ChunkLedgerSource].getName)
+        .option("path", changelogDir)
+        .option("maxChunksPerTrigger", math.max(1, opts.maxFilesPerTrigger))
+        .load()
+      return manifest.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (m: DataFrame, epoch: Long) =>
+          val paths = m.select("path").collect().map(_.getString(0))
+          if (paths.nonEmpty) {
+            val batch = spark.read.schema(Schemas.envelope)
+              .parquet(paths.toIndexedSeq: _*)
+            applyBatch(table, batch, epoch, opts): Unit
+          }
+        }
+        .start()
+    }
     val reader = spark.readStream
       .schema(Schemas.envelope)
       .option("recursiveFileLookup", "true")
@@ -313,8 +356,7 @@ object CdcPipeline {
     }).parquet(changelogDir)
     src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(opts.followIntervalMs
-        .map(ms => Trigger.ProcessingTime(ms)).getOrElse(Trigger.AvailableNow()))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         applyBatch(table, batch, epoch, opts): Unit
       }

@@ -39,6 +39,7 @@ object Sync {
   def sync(spark: SparkSession, source: SnapTable, dest: SnapTable,
       opts: PipelineOptions = PipelineOptions()): SyncResult = {
     val from = dest.maxAppliedLsn(spark)
+    requireAboveTombstoneHorizon(source, from)
     val srcHigh = source.maxAppliedLsn(spark)
     if (srcHigh <= from) return SyncResult(from, from, 0L, "no_change")
     val changes = source.readChangesSince(spark, from)
@@ -76,6 +77,7 @@ object Sync {
         graft.model.Schemas.mergeKeys)
       readWatermark(c, stateTable, targetTable)
     }
+    requireAboveTombstoneHorizon(source, from)
     val srcHigh = source.maxAppliedLsn(spark)
     if (srcHigh <= from) return JdbcSyncResult(from, from, 0L, 0L, "no_change")
     // one state per key: a key changed twice since the watermark must reach
@@ -86,6 +88,24 @@ object Sync {
       batchSize = batchSize)
     withConn(connect)(writeWatermark(_, stateTable, targetTable, srcHigh))
     JdbcSyncResult(from, srcHigh, ups, dels, "committed")
+  }
+
+  /** Fail fast when a resuming consumer's watermark has been OUTRUN by
+    * tombstone expiry on the source (RetentionPolicy.tombstoneLsnLag): the
+    * deletes between `from` and the horizon are physically gone, so resuming
+    * would silently keep deleted rows in the target forever. A fresh
+    * consumer (`from < 0`) is safe — it reads full current state, in which
+    * expired-delete keys are simply absent. Recovery is a full resync:
+    * empty the target (and its watermark row) and run the sync again. */
+  private def requireAboveTombstoneHorizon(source: SnapTable, from: Long): Unit = {
+    val horizon = source.tombstoneHorizonLsn
+    if (from >= 0 && from < horizon - 1)
+      throw new IllegalStateException(
+        s"consumer watermark $from is below the source's tombstone-expiry " +
+          s"horizon $horizon: deletes in ($from, $horizon) may be physically " +
+          "gone. Full-resync the target (truncate it and delete its watermark " +
+          "row), or size RetentionPolicy.tombstoneLsnLag above the maximum " +
+          "consumer staleness.")
   }
 
   private def withConn[A](connect: () => java.sql.Connection)

@@ -178,9 +178,31 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     */
   private[table] def tryCommit(s: Snapshot): Boolean = {
     val p = snapPath(s.version)
-    val out = exclusiveCreate(p).getOrElse(return false)
-    try out.write(Serialization.write(s).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val out = exclusiveCreate(p) match {
+      case Some(o) => o
+      case None =>
+        // version already claimed. If the claimant CRASHED mid-write it left
+        // a torn (unparseable) manifest that would own this version forever:
+        // currentVersion skips it, every later commit re-targets it,
+        // exclusiveCreate keeps failing, and retryingCommit gives up after 5
+        // rounds — a wedged table. Reclaim: if the file is unparseable AND
+        // older than a grace window (a LIVE writer between claim and close
+        // is within the window), delete it and take the claim ourselves.
+        if (reclaimTorn(p)) exclusiveCreate(p).getOrElse(return false)
+        else return false
+    }
+    // a write/close failure must not leave a half-written claim either:
+    // delete the claimed file before rethrowing so the next attempt (ours
+    // after backoff, or another writer's) can claim the version cleanly
+    try {
+      out.write(Serialization.write(s).getBytes(StandardCharsets.UTF_8))
+      out.close()
+    } catch {
+      case t: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        try fs.delete(p, false) catch { case _: Throwable => () }
+        throw t
+    }
     val tmp = new Path(metaDir, s"_current.tmp-${s.version}")
     writeString(tmp, s.version.toString)
     // HDFS rename is atomic; the delete+rename window is covered by the
@@ -188,6 +210,22 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
     require(fs.rename(tmp, currentPtr), s"failed to swap $currentPtr")
     true
+  }
+
+  /** True if `p` is a TORN manifest (unparseable JSON) from a crashed
+    * writer, older than [[SnapTable.tornManifestGraceMs]], and was deleted
+    * here. A parseable file is a legitimate concurrent commit; a young
+    * unparseable file may be a live writer mid-close — both are left alone
+    * (the caller then loses the claim race as usual). */
+  private def reclaimTorn(p: Path): Boolean = {
+    val st = try fs.getFileStatus(p) catch { case _: java.io.IOException => return false }
+    val parseable =
+      try { Serialization.read[Snapshot](readString(p)); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (parseable) return false
+    val ageMs = System.currentTimeMillis() - st.getModificationTime
+    if (ageMs < SnapTable.tornManifestGraceMs) return false
+    try fs.delete(p, false) catch { case _: java.io.IOException => return false }
   }
 
   /** Atomic create-if-absent of `p`; None when the version is already
@@ -236,10 +274,33 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     * created before the stamp existed default to version 1 (pre-canonical-
     * cast hashing) and must be rebucketed before any merge. */
   private def requireBucketFn(snap: Snapshot): Unit = {
-    val stored = snap.props.getOrElse(PropBucketFn, "1")
-    require(stored == BucketFnVersion.toString,
-      s"table at $root was bucketed with hash version $stored but this build uses " +
-        s"$BucketFnVersion — run rebucket() to migrate the layout before merging")
+    val stored = snap.props.get(PropBucketFn)
+    if (!stored.contains(BucketFnVersion.toString)) {
+      val detail = stored match {
+        case Some(v) =>
+          s"was bucketed with hash version $v but this build uses $BucketFnVersion" +
+            " — run rebucket() to migrate the layout (full rewrite) before merging"
+        case None =>
+          "predates the bucket-hash stamp, so its layout hash version is " +
+            s"unknown (this build uses $BucketFnVersion). If the table was " +
+            "created by a recent pre-stamp build its layout is already " +
+            s"version $BucketFnVersion and stampBucketFn() (a props-only " +
+            "commit, no data rewrite) is enough; a genuinely old version-1 " +
+            "layout needs rebucket() (full rewrite)."
+      }
+      throw new IllegalArgumentException(s"table at $root $detail")
+    }
+  }
+
+  /** Re-stamp the layout's bucket-hash version WITHOUT rewriting data — the
+    * migration for tables created by pre-stamp builds whose physical layout
+    * already matches `version` (the caller asserts that; a wrong stamp
+    * silently strands keys across buckets, which is exactly what
+    * [[requireBucketFn]] exists to prevent — when in doubt, rebucket()). */
+  def stampBucketFn(version: Int = SnapTable.BucketFnVersion): Unit = {
+    val snap = snapshot()
+    commit(snap.copy(version = snap.version + 1, parent = snap.version,
+      props = snap.props + (PropBucketFn -> version.toString)))
   }
 
   private[graft] def numBuckets: Int = snapshot().numBuckets
@@ -387,12 +448,23 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     * would be an OOM hazard for arbitrary session aggregations. */
   private def withLwwAggConf[T](spark: SparkSession)(body: => T): T = {
     val k = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, SnapTable.LwwFallbackThreshold.toString)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(k, v)
-      case None => spark.conf.unset(k)
+    // Serialized per SESSION: the threshold lives in the session-global SQL
+    // conf, so two interleaved merge writes could save each other's raised
+    // value as "previous" and leave the 4M threshold set permanently
+    // (A-set, B-set-saving-4M, A-restore, B-restore-4M). One lock per
+    // session makes set/body/restore atomic; merges on DIFFERENT sessions
+    // (separate confs) still run concurrently. Residual, documented: an
+    // unrelated aggregation on the same session DURING a merge write sees
+    // the raised threshold for that bounded window — callers running mixed
+    // workloads should give ingest its own `spark.newSession()`.
+    SnapTable.lwwConfLock(spark).synchronized {
+      val prev = spark.conf.getOption(k)
+      spark.conf.set(k, SnapTable.LwwFallbackThreshold.toString)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
     }
   }
 
@@ -604,11 +676,17 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    */
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val versions = history
+    val parsed: Map[Long, Option[Snapshot]] = history.map(v => v ->
+      (try Some(snapshot(v)) catch { case scala.util.control.NonFatal(_) => None })).toMap
+    // a TORN manifest (crashed writer mid-commit) is invisible to retention
+    // accounting — it was never a committed version — and, once past the
+    // grace window, is reclaimed here like tryCommit would
+    parsed.collect { case (v, None) => v }.foreach(v => reclaimTorn(snapPath(v)): Unit)
+    val versions = history.filter(v => parsed.get(v).exists(_.isDefined)).sorted
     val (expire, retain) = versions.splitAt(math.max(0, versions.size - keepLast))
     if (expire.isEmpty) return (0, 0)
-    val referenced = retain.map(snapshot(_)).flatMap(_.files.map(_.path)).toSet
-    val doomed = expire.map(snapshot(_)).flatMap(_.files.map(_.path)).toSet -- referenced
+    val referenced = retain.flatMap(parsed(_)).flatMap(_.files.map(_.path)).toSet
+    val doomed = expire.flatMap(parsed(_)).flatMap(_.files.map(_.path)).toSet -- referenced
     def dirOf(rel: String) = rel.split("/").take(2).mkString("/")
     // a commit dir no retained snapshot reaches is removed WHOLE (it also
     // holds untracked writer artifacts — _SUCCESS, checksums — that would
@@ -804,10 +882,25 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     kept.repartition(math.max(1, buckets.size), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")
     val written = listBucketFiles(spark, s"$root/$commitRel", commitRel, snap.currentSchemaV)
+    // stamp the horizon IN the same commit that drops the tombstones, so a
+    // resuming consumer can detect (and refuse) a watermark the expiry has
+    // outrun — see [[tombstoneHorizonLsn]]
+    val horizon = math.max(lsnWatermark,
+      snap.props.get(PropTombstoneHorizon).map(_.toLong).getOrElse(-1L))
     commit(snap.copy(version = newVersion, parent = snap.version,
-      files = keep ++ written, rows = written.map(_.rows).sum + keep.map(_.rows).sum))
+      files = keep ++ written, rows = written.map(_.rows).sum + keep.map(_.rows).sum,
+      props = snap.props + (PropTombstoneHorizon -> horizon.toString)))
     n
   }
+
+  /** The lsn watermark below which delete tombstones have been physically
+    * expired (-1 = never expired, every tombstone retained). An incremental
+    * consumer that last applied lsn `from` still sees every change it needs
+    * iff `from >= horizon - 1`; below that, deletes it never applied are
+    * GONE and the consumer must full-resync — [[graft.cdc.Sync]] enforces
+    * this fail-fast instead of silently keeping deleted rows forever. */
+  def tombstoneHorizonLsn: Long =
+    snapshot().props.get(SnapTable.PropTombstoneHorizon).map(_.toLong).getOrElse(-1L)
 }
 
 object SnapTable {
@@ -819,11 +912,37 @@ object SnapTable {
     * 2 = canonically-cast xxhash64 (integral keys hashed as long). */
   val PropBucketFn = "graft.bucketFn"
   val BucketFnVersion = 2
+  /** Manifest property recording the lsn watermark below which delete
+    * tombstones have been PHYSICALLY expired ([[SnapTable.expireTombstones]]).
+    * Incremental consumers resuming from a watermark below this horizon can
+    * never be delivered the expired deletes — sync paths must fail fast and
+    * full-resync instead of silently keeping deleted rows. */
+  val PropTombstoneHorizon = "graft.tombstoneHorizonLsn"
+  /** How old an UNPARSEABLE snapshot manifest must be before a commit
+    * attempt reclaims its version (deletes it and takes the claim). Covers
+    * the hard-crash window of the exclusive-create commit protocol: a
+    * writer that died between claim and close leaves a torn file that
+    * would otherwise own its version forever. Large enough that a live
+    * writer's claim-to-close window (milliseconds — one small JSON write)
+    * can never be mistaken for a corpse; mutable for tests only. */
+  @volatile private[table] var tornManifestGraceMs: Long = 60000L
   /** Per-job raised ObjectHashAggregate fallback threshold for the merge
     * reduce (see `withLwwAggConf`): keys per task there are winners per
     * touched bucket, kept task-sized by layout (rebucket), so removing the
     * sort fallback up to 4M keys cannot pin unbounded memory. */
   val LwwFallbackThreshold = 4194304
+
+  /** One lock object per SparkSession for `withLwwAggConf` (weak keys: a
+    * dropped session's lock is collectable). */
+  private val lwwConfLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
+  private def lwwConfLock(spark: SparkSession): Object =
+    lwwConfLocks.synchronized {
+      var l = lwwConfLocks.get(spark)
+      if (l == null) { l = new Object; lwwConfLocks.put(spark, l) }
+      l
+    }
 
   /**
    * Per-key LWW winners of a frame that carries [[BucketCol]], reduced in

@@ -66,6 +66,81 @@ class CommitClaimSpec extends SparkSpec {
     assert(t.currentVersion == 3L)
   }
 
+  test("a stale torn manifest is reclaimed; a fresh one is honored") {
+    val root = tmpDir("reclaim")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
+    CdcPipeline.applyBatch(t, (1 to 10).map(i => ev(i, 100 + i)).toDF(), 0)
+    val base = t.snapshot()
+    // a crashed writer left a torn claim on version 2
+    val torn = Paths.get(root, "meta", "snap-00000002.json")
+    Files.write(torn, """{"version":2,"paren""".getBytes(StandardCharsets.UTF_8))
+    // within the grace window the claim is honored (it could be a LIVE
+    // writer between claim and close) — the commit loses the race as usual
+    assert(!t.tryCommit(base.copy(version = 2L)))
+    // past the grace window the corpse is reclaimed and the commit proceeds
+    val prev = SnapTable.tornManifestGraceMs
+    SnapTable.tornManifestGraceMs = 0L
+    try {
+      assert(t.tryCommit(base.copy(version = 2L,
+        props = base.props + ("reclaimed" -> "yes"))))
+    } finally SnapTable.tornManifestGraceMs = prev
+    assert(t.currentVersion == 2L)
+    assert(t.snapshot(2L).props("reclaimed") == "yes")
+    assert(t.read(spark).count() == 10)
+    // and the full merge path rides the same recovery: another corpse on
+    // the NEXT version must not wedge ingest
+    Files.write(Paths.get(root, "meta", "snap-00000003.json"),
+      """{"version":3,"paren""".getBytes(StandardCharsets.UTF_8))
+    SnapTable.tornManifestGraceMs = 0L
+    try assert(t.merge(Seq(ev(11, 201)).toDF(), epoch = 1)
+      .isInstanceOf[MergeResult.Committed])
+    finally SnapTable.tornManifestGraceMs = prev
+    assert(t.read(spark).count() == 11)
+  }
+
+  test("expireSnapshots skips torn manifests instead of crashing") {
+    val root = tmpDir("expiretorn")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
+    for (e <- 0 to 2)
+      CdcPipeline.applyBatch(t, (1 to 5).map(i => ev(i, 100 * (e + 1) + i)).toDF(), e)
+    // a torn corpse ABOVE the pointer and inside what keepLast would retain
+    Files.write(Paths.get(root, "meta", "snap-00000009.json"),
+      """{"version":9,"paren""".getBytes(StandardCharsets.UTF_8))
+    val prev = SnapTable.tornManifestGraceMs
+    SnapTable.tornManifestGraceMs = 0L
+    val (snapsDeleted, _) =
+      try t.expireSnapshots(keepLast = 1)
+      finally { SnapTable.tornManifestGraceMs = prev }
+    assert(snapsDeleted >= 2, "parseable old snapshots expired")
+    assert(!Files.exists(Paths.get(root, "meta", "snap-00000009.json")),
+      "stale torn manifest reclaimed during retention")
+    assert(t.currentVersion == 3L)
+    assert(t.read(spark).count() == 5)
+  }
+
+  test("pre-stamp tables re-stamp without a rewrite (stampBucketFn)") {
+    val root = tmpDir("prestamp")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
+    CdcPipeline.applyBatch(t, (1 to 10).map(i => ev(i, 100 + i)).toDF(), 0)
+    // rewrite the manifest as if a pre-stamp build (no bucketFn prop) wrote it
+    val p = Paths.get(root, "meta", "snap-00000001.json")
+    val cleaned = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .replace("\"graft.bucketFn\":\"2\",", "")
+      .replace(",\"graft.bucketFn\":\"2\"", "")
+    assert(!cleaned.contains("graft.bucketFn"))
+    Files.write(p, cleaned.getBytes(StandardCharsets.UTF_8))
+    val t2 = SnapTable.load(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      t2.merge(Seq(ev(11, 201)).toDF(), epoch = 1)
+    }
+    assert(e.getMessage.contains("stampBucketFn"), s"got: ${e.getMessage}")
+    // the operator knows this layout is already hash-v2: props-only re-stamp
+    t2.stampBucketFn()
+    assert(t2.merge(Seq(ev(11, 201)).toDF(), epoch = 1)
+      .isInstanceOf[MergeResult.Committed])
+    assert(t2.read(spark).count() == 11)
+  }
+
   test("merge refuses a table laid out by an older bucket-hash version") {
     val root = tmpDir("bucketfn")
     val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)

@@ -62,6 +62,29 @@ class SyncSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("sync fails fast when the watermark fell below the tombstone horizon") {
+    val src = SnapTable.create(spark, tmpDir("src"), Schemas.payloadV2, numBuckets = 8)
+    CdcPipeline.applyBatch(src, (1 to 20).map(i => ev(i, 100 + i, "I")).toDF(), 0)
+    val dst = SnapTable.create(spark, tmpDir("dst"), Schemas.payloadV2, numBuckets = 8)
+    Sync.sync(spark, src, dst) // dst watermark = 120
+    // the consumer goes dark; meanwhile the source deletes keys and a
+    // retention round physically expires those tombstones
+    CdcPipeline.applyBatch(src,
+      (Seq(ev(3, 201, "D"), ev(4, 202, "D")) ++
+        (5 to 12).map(i => ev(i, 200 + i, "U"))).toDF(), 1)
+    assert(src.expireTombstones(spark, lsnWatermark = 300L) == 2L)
+    assert(src.tombstoneHorizonLsn == 300L)
+    // resuming from 120 < horizon-1 would silently keep c3/c4 in dst forever
+    val e = intercept[IllegalStateException] { Sync.sync(spark, src, dst) }
+    assert(e.getMessage.contains("tombstone"), s"got: ${e.getMessage}")
+    // a FRESH consumer is fine: full state has the expired-delete keys absent
+    val dst2 = SnapTable.create(spark, tmpDir("dst2"), Schemas.payloadV2, numBuckets = 8)
+    assert(Sync.sync(spark, src, dst2).result == "committed")
+    assert(state(dst2) == state(src))
+    // and so is a consumer at/above horizon-1 (nothing it needs was expired)
+    assert(!dst2.read(spark).select("conv_id").as[String].collect().contains("c3"))
+  }
+
   test("schema evolution propagates through sync") {
     val src = SnapTable.create(spark, tmpDir("src"), Schemas.payloadV1, numBuckets = 8)
     CdcPipeline.applyBatch(src,
