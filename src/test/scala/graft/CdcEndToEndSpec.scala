@@ -62,6 +62,63 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(lineage.forall(l => l.partitions.forall(p => p.minLsn <= p.maxLsn)))
   }
 
+  test("chunk-ledger source: streaming replay matches oracle, rate-limited offsets") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    // 2 chunk dirs per trigger -> ceil(6/2) = 3 epochs to drain
+    val q = CdcPipeline.stream(spark, log, t, tmpDir("ckpt"),
+      PipelineOptions(maxFilesPerTrigger = 2, ledgerSource = true))
+    q.awaitTermination()
+    assert(tableState(t) == oracleState(collectEvents()))
+    val committed = CdcPipeline.readLineage(spark, t).filter(_.result == "committed")
+    assert(committed.size == 3, s"expected 3 rate-limited epochs, got ${committed.size}")
+  }
+
+  test("chunk-ledger source: crash-resume from the chunk-offset checkpoint") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val ckpt = tmpDir("ckpt")
+    val opts = PipelineOptions(maxFilesPerTrigger = 1, ledgerSource = true)
+    val q1 = CdcPipeline.stream(spark, log, t, ckpt, opts)
+    var waited = 0
+    while (t.currentVersion < 2 && waited < 600) { Thread.sleep(100); waited += 1 }
+    q1.stop(); q1.awaitTermination()
+    val midVersion = t.currentVersion
+    assert(midVersion >= 1 && midVersion < cfg.chunks, s"mid-stream stop at $midVersion")
+    val q2 = CdcPipeline.stream(spark, log, t, ckpt, opts)
+    q2.awaitTermination()
+    assert(tableState(t) == oracleState(collectEvents()))
+    val committed = CdcPipeline.readLineage(spark, t)
+      .filter(_.result == "committed").map(_.epoch)
+    assert(committed.distinct.size == committed.size, "no epoch applied twice")
+  }
+
+  test("chunk-ledger source: a tail appended AFTER the first drain is picked up") {
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
+    val ckpt = tmpDir("ckpt")
+    val opts = PipelineOptions(maxFilesPerTrigger = 3, ledgerSource = true)
+    CdcPipeline.stream(spark, log, t, ckpt, opts).awaitTermination()
+    val baseEvents = collectEvents()
+    assert(tableState(t) == oracleState(baseEvents))
+    // new chunk dirs arrive with lexicographically later names (the
+    // ledger contract); offsets resume past the drained ones
+    val tailCfg = cfg.copy(numEvents = 4000, chunks = 2,
+      lsnOffset = baseEvents.map(_.lsn).max + 1)
+    ChangeStreamGen.writeChangelog(spark, tailCfg, tmpDir("tail")).zipWithIndex
+      .foreach { case (dir, i) =>
+        val dst = new java.io.File(log, f"chunk=${cfg.chunks + i}%05d")
+        assert(new java.io.File(dir).renameTo(dst), s"move $dir -> $dst")
+      }
+    CdcPipeline.stream(spark, log, t, ckpt, opts).awaitTermination()
+    val allEvents = baseEvents ++
+      ChangeStreamGen.events(spark, tailCfg).drop("pos").as[ChangeEvent].collect()
+    assert(tableState(t) == oracleState(allEvents))
+  }
+
   test("epoch replay is idempotent (exactly-once)") {
     val log = tmpDir("changelog")
     ChangeStreamGen.writeChangelog(spark, cfg, log)
