@@ -244,6 +244,11 @@ object Job {
         spark.read.schema(Schemas.envelope)
           .option("recursiveFileLookup", "true")
           .parquet((p.parameter \ "path").extract[String])
+      case "drdsreader" =>
+        // DRDS speaks the MySQL wire protocol (URL says jdbc:mysql), so the
+        // dialect cannot resolve from the URL — the plugin name forces it
+        // (and with it the mandatory `set transaction policy 4` session SQL)
+        JdbcLane.read(spark, p.parameter, channels, dialectHint = Some("drds"))
       case "rdbmsreader" | "jdbcreader" | "mysqlreader" | "oraclereader" |
            "postgresqlreader" | "sqlserverreader" | "derbyreader" =>
         // the reference's CommonRdbmsReader family: dialect from the
@@ -340,6 +345,8 @@ object Job {
             (p.parameter \ "buckets").extractOpt[Int].getOrElse(32))
         val rec = CdcPipeline.applyBatch(table, df, epoch = epochBase + chunk)
         Some(rec.rowsApplied)
+      case "drdswriter" =>
+        Some(JdbcLane.write(df, p.parameter, dialectHint = Some("drds"))._1)
       case "rdbmswriter" | "jdbcwriter" | "mysqlwriter" | "oraclewriter" |
            "postgresqlwriter" | "sqlserverwriter" | "derbywriter" | "adswriter" =>
         // CommonRdbmsWriter family: batched write with row-by-row dirty

@@ -76,6 +76,19 @@ object JdbcDialect {
         "&rewriteBatchedStatements=true&tinyInt1isBit=false")
   }
 
+  /** DRDS (distributed MySQL) — MySQL on the wire, but every session MUST
+    * run `set transaction policy 4` before any work (the reference forces
+    * it unconditionally, DBUtil.java:712 dealWithSessionConfig). */
+  case object Drds extends JdbcDialect {
+    val name = "drds"
+    override def quoteColumn(c: String): String = "`" + c.replace("`", "``") + "`"
+    override def readerFetchSize(configured: Option[Int]): Int = Integer.MIN_VALUE
+    override def readerUrl(url: String): String = MySql.readerUrl(url)
+    override def writerUrl(url: String): String = MySql.writerUrl(url)
+    override def sessionSqls(userSession: Seq[String]): Seq[String] =
+      "set transaction policy 4" +: userSession
+  }
+
   case object Oracle extends JdbcDialect {
     val name = "oracle"
     override def sampledSplitSql(pk: String, table: String, where: Option[String],
@@ -107,7 +120,7 @@ object JdbcDialect {
   case object Generic extends JdbcDialect { val name = "rdbms" }
 
   private val byName: Map[String, JdbcDialect] =
-    Seq(MySql, Oracle, SqlServer, PostgreSql, Derby, Generic)
+    Seq(MySql, Drds, Oracle, SqlServer, PostgreSql, Derby, Generic)
       .map(d => d.name -> d).toMap
 
   /** Resolve from an explicit name or a jdbc:<subprotocol>: URL. */
@@ -125,11 +138,19 @@ object JdbcDialect {
     * effective fetch size (Spark passes `fetchsize` through to
     * `Statement.setFetchSize` per partition). */
   def readerProps(dialect: JdbcDialect, user: String, password: String,
-      configuredFetchSize: Option[Int] = None): java.util.Properties = {
+      configuredFetchSize: Option[Int] = None,
+      userSession: Seq[String] = Nil): java.util.Properties = {
     val p = new java.util.Properties()
     p.setProperty("user", user)
     p.setProperty("password", password)
     p.setProperty("fetchsize", dialect.readerFetchSize(configuredFetchSize).toString)
+    // Spark's JDBC source runs `sessionInitStatement` on each partition's
+    // fresh connection before its scan query — exactly the reference's
+    // per-connection session config (DBUtil.dealWithSessionConfig). The
+    // dialect contributes its mandatory statements (DRDS's transaction
+    // policy) ahead of the user's list.
+    val session = dialect.sessionSqls(userSession)
+    if (session.nonEmpty) p.setProperty("sessionInitStatement", session.mkString("; "))
     p
   }
 }

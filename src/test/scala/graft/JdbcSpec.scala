@@ -221,6 +221,99 @@ class JdbcSpec extends SparkSpec {
     conn.close()
   }
 
+  // ---- retry / failover / sampled split / session SQL ----------------------
+
+  test("withRetry retries transient failures and fails fast on config errors") {
+    import graft.sources.Retry
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val v = Retry.withRetry(maxAttempts = 3, baseDelayMs = 1) {
+      if (n.incrementAndGet() < 3) throw new java.sql.SQLTransientConnectionException("flaky")
+      42
+    }
+    assert(v == 42 && n.get() == 3, "two transient failures then success")
+    // a non-transient error (bad SQL, unknown driver) is NOT retried
+    val m = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[java.sql.SQLSyntaxErrorException] {
+      Retry.withRetry(maxAttempts = 3, baseDelayMs = 1) {
+        m.incrementAndGet(); throw new java.sql.SQLSyntaxErrorException("bad sql")
+      }
+    }
+    assert(m.get() == 1)
+    // exhaustion rethrows the LAST failure with priors attached as suppressed
+    val e = intercept[java.sql.SQLException] {
+      Retry.withRetry(maxAttempts = 3, baseDelayMs = 1) {
+        throw new java.sql.SQLException("still down")
+      }
+    }
+    assert(e.getSuppressed.length == 2)
+  }
+
+  test("multi-jdbcUrl failover probes to the first live candidate") {
+    val conn = derby("failoverdb")
+    conn.createStatement().execute("CREATE TABLE t1 (pk INT)")
+    conn.close()
+    // nonexistent in-memory DB (no ;create=true) fails to connect; the
+    // probe must move on to the live second candidate
+    val urls = Seq("jdbc:derby:memory:failover_nosuch", "jdbc:derby:memory:failoverdb")
+    assert(graft.job.JdbcLane.chooseJdbcUrl(urls, "app", "app") == urls(1))
+    // a single candidate passes through unprobed (the work connection will
+    // surface any error with full fidelity)
+    assert(graft.job.JdbcLane.chooseJdbcUrl(Seq("jdbc:x:y"), "a", "b") == "jdbc:x:y")
+    // no live candidate: bounded sweeps then a SQLException naming them all
+    val e = intercept[java.sql.SQLException] {
+      graft.job.JdbcLane.chooseJdbcUrl(
+        Seq("jdbc:derby:memory:failover_no1", "jdbc:derby:memory:failover_no2"),
+        "a", "b", sweeps = 2)
+    }
+    assert(e.getMessage.contains("no connectable"))
+  }
+
+  test("reader lane: jdbcUrl failover array + sampled split balances a skewed pk") {
+    import org.json4s.jackson.JsonMethods.parse
+    val conn = derby("skewdb")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE skewed (pk INT, v VARCHAR(16))")
+    val ins = conn.prepareStatement("INSERT INTO skewed VALUES (?, ?)")
+    // 90 keys clustered low + 10 outliers 9M away: MIN/MAX range slicing
+    // puts ~90% of rows in one slice; quantile sampling balances them
+    val pks = (1 to 90) ++ (9000001 to 9000010)
+    pks.foreach { i => ins.setInt(1, i); ins.setString(2, s"v$i"); ins.executeUpdate() }
+    conn.close()
+    def param(mode: String) = parse(s"""{
+      "username": "app", "password": "app",
+      "connection": [{"jdbcUrl": ["jdbc:derby:memory:skew_nosuch",
+                                  "jdbc:derby:memory:skewdb"],
+                      "table": ["skewed"]}],
+      "splitPk": "pk", "splitMode": "$mode"}""")
+    val sampled = graft.job.JdbcLane.read(spark, param("sampled"), channels = 4)
+    assert(sampled.count() == 100)
+    val sCounts = sampled.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sCounts.filter(_ > 0).forall(c => c >= 20 && c <= 30),
+      s"sampled slices should be ~25 rows each: ${sCounts.toSeq}")
+    val ranged = graft.job.JdbcLane.read(spark, param("range"), channels = 4)
+    assert(ranged.count() == 100)
+    val rCounts = ranged.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(rCounts.max >= 85, s"range slicing should collapse under skew: ${rCounts.toSeq}")
+  }
+
+  test("DRDS dialect: mandatory session SQL reaches the reader properties") {
+    import JdbcDialect._
+    assert(of("drds") == Drds)
+    // DRDS is MySQL on the wire: quoting, streaming fetch, URL suffix
+    assert(Drds.quoteColumn("a") == "`a`")
+    assert(Drds.readerFetchSize(Some(100)) == Integer.MIN_VALUE)
+    assert(Drds.readerUrl("jdbc:mysql://h/db").contains("rewriteBatchedStatements=true"))
+    // the forced transaction policy precedes the user session list
+    // (reference DBUtil.java:712 dealWithSessionConfig)
+    assert(Drds.sessionSqls(Seq("set names utf8mb4")) ==
+      Seq("set transaction policy 4", "set names utf8mb4"))
+    val props = readerProps(Drds, "u", "p", None, Seq("set names utf8mb4"))
+    assert(props.getProperty("sessionInitStatement") ==
+      "set transaction policy 4; set names utf8mb4")
+    // no session statements -> no sessionInitStatement property at all
+    assert(readerProps(Derby, "u", "p").getProperty("sessionInitStatement") == null)
+  }
+
   test("preSql truncates the target and postSql runs after the load") {
     import spark.implicits._
     val conn = derby("prepostdb")
