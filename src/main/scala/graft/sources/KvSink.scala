@@ -75,18 +75,24 @@ object KvSink {
     val prepared = df.select(
       concat_ws(keySep, keyCols.map(c => col(c).cast("string")): _*).as("__k"),
       concat_ws(valueSep, valueCols.map(c => col(c).cast("string")): _*).as("__v"))
-    val sc = df.sparkSession.sparkContext
-    val written = sc.longAccumulator("kv_written")
-    val skipped = sc.longAccumulator("kv_skipped")
-    prepared.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
+    // counts come back as per-partition results through collect, NOT
+    // accumulators: a task retry or speculative duplicate re-runs the
+    // partition, and an accumulator would count it twice — the collected
+    // result of a retried task REPLACES its predecessor's, so the totals
+    // are deterministic under retries (same fix as JdbcWrite.write)
+    val results = prepared.rdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
         val c = clientFactory()
+        var written = 0L
+        var skipped = 0L
         try rows.foreach { r =>
-          if (apply1(c, mode, r.getString(0), r.getString(1))) written.add(1)
-          else skipped.add(1)
+          if (apply1(c, mode, r.getString(0), r.getString(1))) written += 1
+          else skipped += 1
         } finally c.close()
+        Iterator.single((written, skipped))
       }
-    }
-    (written.value, skipped.value)
+    }.collect()
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 }
