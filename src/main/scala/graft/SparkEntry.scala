@@ -908,10 +908,13 @@ object SparkEntry {
   }
 
   /** SimHash pairs oracle: recomputes the md5-bit signature in SQL (bit j =
-    * bit j%4 of hex digit j/4 of md5(token)), then the full pair join with
-    * xor + bit_count — exact, no pigeonhole pruning needed at oracle scale. */
+    * bit j%4 of hex digit j/4+1 of md5(token)), then the full pair join with
+    * xor + bit_count — exact, no pigeonhole pruning needed at oracle scale.
+    * q_simhash runs at maxHamming=8, which [[graft.operators.TextDedup
+    * .simhashPairs]] auto-widens to the 120-bit two-half signature (chunk
+    * keys stay >= 12 bits); the oracle mirrors it as two 60-bit BIGINTs. */
   private val simhashOracle: String = {
-    val bits = graft.operators.TextDedup.SimhashBits
+    val bits = graft.operators.TextDedup.SimhashWideBits
     val maxHamming = 8
     val sums = (0 until bits).map { j =>
       val digit = j / 4 + 1
@@ -919,8 +922,9 @@ object SparkEntry {
       s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $digit, 1)) - 1) >> $b) & 1 = 1" +
         s" THEN 1 ELSE -1 END) AS b$j"
     }.mkString(",\n    ")
-    val assemble = (0 until bits).map(j =>
-      s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)").mkString(" + ")
+    def assemble(range: Range, base: Int): String = range.map(j =>
+      s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << ${j - base}) ELSE 0 END)").mkString(" + ")
+    val ham = "bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))"
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
        |  FROM documents
@@ -929,11 +933,12 @@ object SparkEntry {
        |  SELECT doc_id,
        |    $sums
        |  FROM hs GROUP BY doc_id
-       |), sig AS (SELECT doc_id, $assemble AS simhash FROM sums)
+       |), sig AS (SELECT doc_id, ${assemble(0 until 60, 0)} AS sig0,
+       |    ${assemble(60 until bits, 60)} AS sig1 FROM sums)
        |SELECT a.doc_id AS a, b.doc_id AS b,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  CAST($ham AS INT) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |WHERE $ham <= $maxHamming
        |ORDER BY a, b""".stripMargin
   }
 

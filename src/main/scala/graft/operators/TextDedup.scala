@@ -185,10 +185,53 @@ object TextDedup {
         .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
+  /** Widest supported signature: 120 bits, both md5 halves (hex digits 1-15
+    * and 16-30) as two 60-bit longs — still bit-for-bit reproducible by any
+    * engine with md5 (the DuckDB oracle recomputes it). */
+  val SimhashWideBits = 120
+
+  /** Narrowest chunk key whose bucket-join blocking survives corpus scale:
+    * below 12 bits (4096 buckets/chunk) candidate mass trends toward
+    * chunks*n²/2^bitsPer — quadratic at 100 TB. */
+  val MinChunkBits = 12
+
+  /** The blocking plan [[simhashPairs]] will use for a (bits, maxHamming)
+    * request: (signatureBits, chunkBits). When the requested signature
+    * would produce chunk keys under [[MinChunkBits]], the signature auto-
+    * widens to [[SimhashWideBits]] at the SAME absolute hamming budget —
+    * a higher-resolution estimate of the same token-multiset similarity
+    * (pairs are then the 120-bit hamming <= maxHamming set). */
+  def simhashBlocking(maxHamming: Int, bits: Int = SimhashBits): (Int, Int) = {
+    val chunks = maxHamming + 1
+    if (bits / chunks >= MinChunkBits) (bits, bits / chunks)
+    else (SimhashWideBits, SimhashWideBits / chunks)
+  }
+
+  /** Near-dup pairs (a < b, hamming): pigeonhole chunk bucket-join over the
+    * signature picked by [[simhashBlocking]], exact hamming verify on the
+    * candidates. Never all-pairs: shuffle is proportional to candidate
+    * count, and the chunk-key width (logged, never silent) bounds the
+    * candidate mass — 2^chunkBits buckets per chunk. */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3, bits: Int = SimhashBits): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPer = bits / chunks
+    val (sigBits, bitsPer) = simhashBlocking(maxHamming, bits)
+    if (sigBits != bits)
+      System.err.println(s"[simhash] widened signature $bits -> $sigBits bits: " +
+        s"maxHamming=$maxHamming needs $chunks chunks and $bits-bit chunks would be " +
+        s"${bits / chunks} bits (blocking keys: $chunks x ${bitsPer}-bit = " +
+        s"${1L << bitsPer} buckets/chunk)")
+    if (bitsPer < MinChunkBits)
+      System.err.println(s"[simhash] WARNING: chunk keys are only $bitsPer bits " +
+        s"(${1L << bitsPer} buckets/chunk) — candidate mass ~n^2*$chunks/${1L << bitsPer} " +
+        "at corpus scale; lower maxHamming for a 100 TB run")
+    if (sigBits == bits) simhashPairsNarrow(df, idCol, textCol, maxHamming, bits, bitsPer)
+    else simhashPairsWide(df, idCol, textCol, maxHamming, bitsPer)
+  }
+
+  private def simhashPairsNarrow(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bits: Int, bitsPer: Int): DataFrame = {
+    val chunks = maxHamming + 1
     val sigs = simhash(df, idCol, textCol, bits)
     val keyed = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
@@ -198,6 +241,70 @@ object TextDedup {
     val r = keyed.select(col(idCol).as("b"), col("simhash").as("sb"), col("chunk"), col("ck"))
     l.join(r, Seq("chunk", "ck")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 120-bit signature as two 60-bit longs (sim0 = global bits 0-59 from
+    * md5 hex digits 1-15, sim1 = bits 60-119 from digits 16-30); same
+    * one-conv-per-half bit extraction as [[simhash]]. */
+  private[operators] def simhashWide(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = ensureParallelism(df).select(col(idCol),
+      explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+      .withColumn("__h", md5(col("tok")))
+      .withColumn("hv0", expr("cast(conv(substring(__h, 1, 15), 16, 10) as bigint)"))
+      .withColumn("hv1", expr("cast(conv(substring(__h, 16, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until SimhashWideBits).map { j =>
+      // global bit j reads bit (j%4) of md5 hex digit (j/4 + 1); the digit
+      // sits at bit 4*(14 - localDigit) of its half's big-endian parse
+      val (src, p) =
+        if (j < 60) ("hv0", 4 * (14 - j / 4) + (j % 4))
+        else ("hv1", 4 * (29 - j / 4) + (j % 4))
+      sum(expr(s"($src >> $p) & 1").cast("int")).as(s"b$j")
+    }
+    def assemble(range: Range, base: Int): Column = range.map(j =>
+      when(col(s"b$j") * 2 > col("__n"), shiftleft(lit(1L), j - base)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
+      .select(col(idCol), assemble(0 until 60, 0).as("sim0"),
+        assemble(60 until SimhashWideBits, 60).as("sim1"))
+  }
+
+  /** Chunk key c over the concatenated (sim0, sim1) 120-bit signature —
+    * chunks spanning the 60-bit boundary stitch both halves. */
+  private def wideChunkKey(c: Int, bitsPer: Int): Column = {
+    val lo = c * bitsPer
+    val hi = lo + bitsPer - 1
+    def mask(w: Int): Long = (1L << w) - 1
+    if (hi < 60) shiftright(col("sim0"), lo).bitwiseAND(lit(mask(bitsPer)))
+    else if (lo >= 60) shiftright(col("sim1"), lo - 60).bitwiseAND(lit(mask(bitsPer)))
+    else {
+      val fromLow = 60 - lo
+      shiftright(col("sim0"), lo).bitwiseAND(lit(mask(fromLow)))
+        .bitwiseOR(shiftleft(col("sim1").bitwiseAND(lit(mask(bitsPer - fromLow))), fromLow))
+    }
+  }
+
+  private def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bitsPer: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val sigs = simhashWide(df, idCol, textCol)
+    // pigeonhole still holds with trailing bits uncovered (chunks*bitsPer
+    // <= 120): <= maxHamming differing bits hit at most maxHamming of the
+    // maxHamming+1 chunks, so some chunk key matches exactly
+    val keyed = sigs.select(col(idCol), col("sim0"), col("sim1"),
+      posexplode(array((0 until chunks).map(wideChunkKey(_, bitsPer)): _*))
+        .as(Seq("chunk", "ck")))
+    val l = keyed.select(col(idCol).as("a"), col("sim0").as("sa0"),
+      col("sim1").as("sa1"), col("chunk"), col("ck"))
+    val r = keyed.select(col(idCol).as("b"), col("sim0").as("sb0"),
+      col("sim1").as("sb1"), col("chunk"), col("ck"))
+    l.join(r, Seq("chunk", "ck")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("sa0").bitwiseXOR(col("sb0"))) +
+          bit_count(col("sa1").bitwiseXOR(col("sb1")))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

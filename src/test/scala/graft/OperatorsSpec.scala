@@ -108,12 +108,28 @@ class OperatorsSpec extends SparkSpec {
   test("simhash finds the planted near-dups") {
     val planted = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val sim = TextDedup.simhashPairs(docs, maxHamming = 12)
+    // maxHamming 24 here = the same 20% relative hamming budget the old
+    // 60-bit/maxHamming-12 setting had: the pairs path auto-widens any
+    // sub-12-bit-chunk request to the 120-bit signature at an ABSOLUTE
+    // hamming budget, so the budget scales with the signature
+    val sim = TextDedup.simhashPairs(docs, maxHamming = 24)
       .select("a", "b").as[(Long, Long)].collect().toSet
     // simhash measures token-multiset similarity: expect high recall of the
     // jaccard-planted pairs
     val recall = planted.count(sim.contains).toDouble / planted.size
     assert(recall >= 0.8, s"simhash recall $recall")
+  }
+
+  test("simhash blocking plan keeps chunk keys >= 12 bits through maxHamming 9") {
+    for (mh <- 0 to 9) {
+      val (bits, bitsPer) = TextDedup.simhashBlocking(mh)
+      assert(bitsPer >= TextDedup.MinChunkBits,
+        s"maxHamming=$mh -> $bits-bit signature with $bitsPer-bit chunks")
+    }
+    // the narrow signature is kept when its chunks are already wide enough
+    assert(TextDedup.simhashBlocking(3) == (60, 15))
+    // q_simhash's setting: widened, 13-bit chunks
+    assert(TextDedup.simhashBlocking(8) == (120, 13))
   }
 
   test("exact dedup groups identical normalized text") {
