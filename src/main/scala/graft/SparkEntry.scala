@@ -326,6 +326,33 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q_ads_load" -> ((s, dir) => {
+      // AdsWriter staged "load" mode end-to-end (reference AdsWriter.java
+      // load flow): a first load seeds the serving table with STALE rows,
+      // then an overWrite load publishes the real set through a transit
+      // table + one atomic txn — the read-back must show only the real set,
+      // proving the overwrite replaced (not appended) and the publish is
+      // all-or-nothing
+      import graft.sources.{JdbcDialect, JdbcWrite}
+      val db = "graftads" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db"
+      val connect = () => java.sql.DriverManager.getConnection(s"$url;create=true")
+      val c = connect()
+      c.createStatement().execute(
+        "CREATE TABLE serving (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+      c.close()
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val stale = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      val fresh = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      val ddl = JdbcDialect.Derby.stagingDdl _
+      JdbcWrite.stagedLoad(stale, connect, "serving", overwrite = false, stagingDdl = ddl)
+      JdbcWrite.stagedLoad(fresh, connect, "serving", overwrite = true, stagingDdl = ddl)
+      s.read.jdbc(url, "serving", JdbcDialect.readerProps(JdbcDialect.of(url), "app", "app"))
+        .select(col("O_ORDERKEY").as("o_orderkey"), col("O_CUSTKEY").as("o_custkey"),
+          col("O_TOTALPRICE").as("o_totalprice")) // Derby uppercases identifiers
+        .orderBy("o_orderkey")
+    }),
+
     "q_cast_ladder" -> ((s, dir) => {
       // ColumnCast multi-format parse ladder (reference ColumnCast.java:
       // 87-117): strings in three formats all parse back to the same date
@@ -713,6 +740,10 @@ object SparkEntry {
     "q_jdbc_roundtrip" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_ads_load" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q_cast_ladder" ->
       """SELECT o_orderkey,

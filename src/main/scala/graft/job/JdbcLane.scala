@@ -239,7 +239,10 @@ object JdbcLane {
       val (user, pass) = credentials(param)
       val rawUrl = chooseJdbcUrl(candidateUrls(conn0 \ "jdbcUrl"), user, pass)
       val dialect = JdbcDialect.of(rawUrl)
-      JdbcWrite.parseMode((param \ "writeMode").extractOpt[String].getOrElse("insert"))
+      (param \ "writeMode").extractOpt[String].map(_.toLowerCase) match {
+        case Some("load") | Some("stream") | None => () // staged-load / real-time insert lanes
+        case Some(m) => JdbcWrite.parseMode(m)
+      }
       val table = firstString(conn0 \ "table")
       val c = connectWithRetry(dialect.writerUrl(rawUrl), user, pass,
         dialect.sessionSqls(Nil))
@@ -250,7 +253,8 @@ object JdbcLane {
 
   /** Returns (written, dirty). */
   def write(df: DataFrame, param: JValue,
-      dialectHint: Option[String] = None): (Long, Long) = {
+      dialectHint: Option[String] = None,
+      defaultWriteMode: String = "insert"): (Long, Long) = {
     val conn = connection(param)
     val (user, pass) = credentials(param)
     val rawUrl = chooseJdbcUrl(candidateUrls(conn \ "jdbcUrl"), user, pass)
@@ -259,8 +263,8 @@ object JdbcLane {
     val sessionSqls = dialect.sessionSqls(
       (param \ "session").extractOpt[List[String]].getOrElse(Nil))
     val table = firstString(conn \ "table")
-    val mode = JdbcWrite.parseMode(
-      (param \ "writeMode").extractOpt[String].getOrElse("insert"))
+    val modeName = (param \ "writeMode").extractOpt[String]
+      .getOrElse(defaultWriteMode).toLowerCase
     val selected = (param \ "column").extractOpt[List[String]].getOrElse(Nil) match {
       case Nil | List("*") => df
       case cols => df.select(cols.map(col): _*)
@@ -268,9 +272,23 @@ object JdbcLane {
     // each executor partition's connection retries independently with
     // backoff (Retry is an object — the closure serializes cleanly)
     val connect = () => connectWithRetry(url, user, pass, sessionSqls)
-    JdbcWrite.write(selected, connect, mode, table,
-      batchSize = (param \ "batchSize").extractOpt[Int].getOrElse(2048),
-      preSql = (param \ "preSql").extractOpt[List[String]].getOrElse(Nil),
-      postSql = (param \ "postSql").extractOpt[List[String]].getOrElse(Nil))
+    val batchSize = (param \ "batchSize").extractOpt[Int].getOrElse(2048)
+    modeName match {
+      case "load" =>
+        // adswriter staged load: transit table + single atomic publish
+        // (`overWrite` is the reference's config key, adswriter Key.java:18)
+        val n = JdbcWrite.stagedLoad(selected, connect, table,
+          overwrite = (param \ "overWrite").extractOpt[Boolean].getOrElse(false),
+          stagingDdl = dialect.stagingDdl, batchSize = batchSize)
+        (n, 0L)
+      case other =>
+        // the reference's adswriter "stream" mode is its real-time insert
+        // lane (AdsInsertProxy) — template-wise plain insert here
+        val mode = JdbcWrite.parseMode(if (other == "stream") "insert" else other)
+        JdbcWrite.write(selected, connect, mode, table,
+          batchSize = batchSize,
+          preSql = (param \ "preSql").extractOpt[List[String]].getOrElse(Nil),
+          postSql = (param \ "postSql").extractOpt[List[String]].getOrElse(Nil))
+    }
   }
 }

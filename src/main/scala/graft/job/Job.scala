@@ -347,8 +347,13 @@ object Job {
         Some(rec.rowsApplied)
       case "drdswriter" =>
         Some(JdbcLane.write(df, p.parameter, dialectHint = Some("drds"))._1)
+      case "adswriter" =>
+        // the reference defaults the ADS lane to staged "load" mode when
+        // writeMode is unset (AdsWriter.java:72-77); insert/stream/replace
+        // still selectable per job
+        Some(JdbcLane.write(df, p.parameter, defaultWriteMode = "load")._1)
       case "rdbmswriter" | "jdbcwriter" | "mysqlwriter" | "oraclewriter" |
-           "postgresqlwriter" | "sqlserverwriter" | "derbywriter" | "adswriter" =>
+           "postgresqlwriter" | "sqlserverwriter" | "derbywriter" =>
         // CommonRdbmsWriter family: batched write with row-by-row dirty
         // replay, insert/replace/update templates, pre/postSql
         Some(JdbcLane.write(df, p.parameter)._1)

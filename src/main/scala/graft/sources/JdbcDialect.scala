@@ -60,6 +60,15 @@ sealed trait JdbcDialect {
     * returned points feed [[JdbcSplit.sampledSlices]]. */
   def sampledSplitSql(pk: String, table: String, where: Option[String],
       percent: Double, adviceNum: Int): Option[String] = None
+
+  /** DDL cloning `source`'s column shape into an empty transit table for
+    * the staged-load write path (reference adswriter: a temp ODPS table is
+    * created from the ADS table's meta, TableMetaHelper.java:31-49).
+    * Constraints deliberately do NOT copy — the transit table must accept
+    * whatever the serving table would reject, so the single publish
+    * transaction is where violations surface (and roll back atomically). */
+  def stagingDdl(staging: String, source: String): String =
+    s"CREATE TABLE ${quoteTable(staging)} AS SELECT * FROM ${quoteTable(source)} WHERE 1=0"
 }
 
 object JdbcDialect {
@@ -114,7 +123,12 @@ object JdbcDialect {
   case object PostgreSql extends JdbcDialect { val name = "postgresql" }
 
   /** Derby — the dialect this sandbox runs end-to-end. */
-  case object Derby extends JdbcDialect { val name = "derby" }
+  case object Derby extends JdbcDialect {
+    val name = "derby"
+    // Derby's CTAS form is `... WITH NO DATA` (a WHERE would be rejected)
+    override def stagingDdl(staging: String, source: String): String =
+      s"CREATE TABLE ${quoteTable(staging)} AS SELECT * FROM ${quoteTable(source)} WITH NO DATA"
+  }
 
   /** Plain ANSI fallback (the reference's RDBMS generic type). */
   case object Generic extends JdbcDialect { val name = "rdbms" }

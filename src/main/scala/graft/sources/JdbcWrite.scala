@@ -158,6 +158,86 @@ object JdbcWrite {
   }
 
   /**
+   * Staged "load" write — the reference adswriter's default mode rebuilt
+   * on JDBC: fill a freshly-created transit table in parallel, then
+   * publish into the serving table with ONE atomic driver-side
+   * transaction, then drop the transit table (reference: AdsWriter.java
+   * load-mode job flow — temp ODPS table via TableMetaHelper, parallel
+   * block upload, single `LOAD DATA FROM ... [OVERWRITE]` submit+wait,
+   * AdsHelper.java:204-290). The serving table never sees partial data:
+   * readers observe the old contents until the publish commit, and any
+   * failure before it (including constraint violations the transit table
+   * deliberately accepted) rolls back to exactly the prior state.
+   *
+   * Retry shape: each partition fills the transit table under a SINGLE
+   * transaction (commit at partition end), so a failed task's rows vanish
+   * with its rollback and the retry re-fills from nothing — the block-id
+   * overwrite analogue. As with Insert mode, speculative duplicates are
+   * the one hole (two attempts both committing): disable speculation for
+   * load-mode jobs (`spark.speculation=false`).
+   *
+   * Returns rows published. `stagingDdl` comes from the dialect
+   * ([[JdbcDialect.stagingDdl]]); `staging` defaults to the reference's
+   * `<table>_<millis><rand>` transit-name pattern
+   * (TableMetaHelper.java:82-85).
+   */
+  def stagedLoad(df: DataFrame, connect: () => Connection, table: String,
+      overwrite: Boolean, stagingDdl: (String, String) => String,
+      batchSize: Int = 2048, staging: String = ""): Long = {
+    val cols = df.columns.toSeq
+    val stg =
+      if (staging.nonEmpty) staging
+      else s"${table}_dx_${System.currentTimeMillis()}${1000 + scala.util.Random.nextInt(1000)}"
+    runSqls(connect, Seq(stagingDdl(stg, table)))
+    try {
+      val sql = template(Insert, stg, cols)
+      val counts = df.rdd.mapPartitions { rows =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val conn = connect()
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(sql)
+            var n = 0L; var pending = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < r.length) {
+                if (r.isNullAt(i)) st.setObject(i + 1, null) else st.setObject(i + 1, r.get(i))
+                i += 1
+              }
+              st.addBatch(); n += 1; pending += 1
+              if (pending >= batchSize) { st.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) st.executeBatch()
+            conn.commit() // the partition's one commit — all rows or none
+            st.close()
+            Iterator.single(n)
+          } finally conn.close()
+        }
+      }.collect()
+      // atomic publish: truncate-if-overwrite + INSERT..SELECT in one txn
+      val conn = connect()
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          if (overwrite) st.executeUpdate(s"DELETE FROM $table")
+          val colList = cols.mkString(", ")
+          st.executeUpdate(s"INSERT INTO $table ($colList) SELECT $colList FROM $stg")
+          conn.commit()
+        } catch {
+          case e: Exception => conn.rollback(); throw e
+        } finally st.close()
+      } finally conn.close()
+      counts.sum
+    } finally {
+      // transit table always goes away, published or not
+      try runSqls(connect, Seq(s"DROP TABLE $stg"))
+      catch { case _: Exception => () }
+    }
+  }
+
+  /**
    * Apply LWW change STATES (one row per key, `opCol` = U/D) to a JDBC
    * table as DELETE-by-key + (op != 'D') INSERT — the portable replace
    * shape every dialect supports, where the reference leans on MySQL

@@ -335,4 +335,97 @@ class JdbcSpec extends SparkSpec {
     r2.next(); assert(r2.getInt(1) == 20, "postSql audit did not see the loaded rows")
     c2.close()
   }
+
+  // ---- staged "load" mode (adswriter parity) -------------------------------
+
+  private def count(connect: () => Connection, sql: String): Int = {
+    val c = connect()
+    try { val r = c.createStatement().executeQuery(sql); r.next(); r.getInt(1) }
+    finally c.close()
+  }
+
+  test("staged load appends atomically and drops the transit table") {
+    import spark.implicits._
+    val conn = derby("loaddb")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE serving (pk INT, v VARCHAR(16))")
+    st.execute("INSERT INTO serving VALUES (1, 'old1'), (2, 'old2')")
+    conn.close()
+    val connect = () => DriverManager.getConnection("jdbc:derby:memory:loaddb")
+    val df = (10 to 14).map(i => (i, s"v$i")).toDF("pk", "v").repartition(3)
+    val n = JdbcWrite.stagedLoad(df, connect, "serving", overwrite = false,
+      stagingDdl = JdbcDialect.Derby.stagingDdl, staging = "serving_stg1")
+    assert(n == 5)
+    assert(count(connect, "SELECT COUNT(*) FROM serving") == 7) // 2 old + 5 loaded
+    // transit table is gone (Derby errors on a missing table)
+    val e = intercept[java.sql.SQLException] {
+      count(connect, "SELECT COUNT(*) FROM serving_stg1")
+    }
+    assert(e.getSQLState == "42X05", s"expected missing-table state, got ${e.getSQLState}")
+  }
+
+  test("staged load with overWrite replaces the serving table in one transaction") {
+    import spark.implicits._
+    val conn = derby("loaddb2")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE serving (pk INT, v VARCHAR(16))")
+    st.execute("INSERT INTO serving VALUES (1, 'old1'), (2, 'old2')")
+    conn.close()
+    val connect = () => DriverManager.getConnection("jdbc:derby:memory:loaddb2")
+    val df = Seq((7, "new7"), (8, "new8"), (9, "new9")).toDF("pk", "v")
+    val n = JdbcWrite.stagedLoad(df, connect, "serving", overwrite = true,
+      stagingDdl = JdbcDialect.Derby.stagingDdl, staging = "serving_stg2")
+    assert(n == 3)
+    assert(count(connect, "SELECT COUNT(*) FROM serving") == 3)
+    assert(count(connect, "SELECT COUNT(*) FROM serving WHERE pk < 7") == 0,
+      "overwrite left pre-load rows behind")
+  }
+
+  test("staged load publish failure leaves the serving table untouched") {
+    import spark.implicits._
+    val conn = derby("loaddb3")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE serving (pk INT PRIMARY KEY, v VARCHAR(16))")
+    st.execute("INSERT INTO serving VALUES (1, 'old1')")
+    conn.close()
+    val connect = () => DriverManager.getConnection("jdbc:derby:memory:loaddb3")
+    // transit table has no constraints (CTAS drops them) so the duplicate
+    // keys stage fine; the single publish txn hits the serving table's PK
+    // and must roll back to exactly the prior state
+    val df = Seq((5, "a"), (5, "b"), (6, "c")).toDF("pk", "v")
+    intercept[java.sql.SQLException] {
+      JdbcWrite.stagedLoad(df, connect, "serving", overwrite = true,
+        stagingDdl = JdbcDialect.Derby.stagingDdl, staging = "serving_stg3")
+    }
+    assert(count(connect, "SELECT COUNT(*) FROM serving") == 1)
+    assert(count(connect, "SELECT COUNT(*) FROM serving WHERE pk = 1") == 1,
+      "failed publish must not remove pre-load rows (overwrite delete rolled back)")
+    val e = intercept[java.sql.SQLException] {
+      count(connect, "SELECT COUNT(*) FROM serving_stg3")
+    }
+    assert(e.getSQLState == "42X05", "transit table must be dropped even on failure")
+  }
+
+  test("adswriter lane JSON routes writeMode load (reference default) end-to-end") {
+    import org.json4s.jackson.JsonMethods.parse
+    import spark.implicits._
+    val conn = derby("loadlane")
+    conn.createStatement().execute("CREATE TABLE ads_tgt (pk INT, v VARCHAR(16))")
+    conn.close()
+    val df = (1 to 10).map(i => (i, s"v$i")).toDF("pk", "v")
+    val param = parse("""{
+      "username": "app", "password": "app", "writeMode": "load", "overWrite": true,
+      "connection": [{"jdbcUrl": "jdbc:derby:memory:loadlane", "table": ["ads_tgt"]}]}""")
+    val (written, dirtyN) = graft.job.JdbcLane.write(df, param)
+    assert(written == 10 && dirtyN == 0)
+    val connect = () => DriverManager.getConnection("jdbc:derby:memory:loadlane")
+    assert(count(connect, "SELECT COUNT(*) FROM ads_tgt") == 10)
+    // "stream" aliases the real-time insert lane (AdsInsertProxy analogue)
+    val streamParam = parse("""{
+      "username": "app", "password": "app", "writeMode": "stream",
+      "connection": [{"jdbcUrl": "jdbc:derby:memory:loadlane", "table": ["ads_tgt"]}]}""")
+    val (w2, _) = graft.job.JdbcLane.write(df.select(($"pk" + 100).as("pk"), $"v"), streamParam)
+    assert(w2 == 10)
+    assert(count(connect, "SELECT COUNT(*) FROM ads_tgt") == 20)
+  }
 }
