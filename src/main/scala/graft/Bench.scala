@@ -38,7 +38,7 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_filter_project", "q_join_broadcast", "q_join_shuffle",
     "q_window_topk", "q_cdc_lww", "q_cdc_lww_salted", "q_event_window",
-    "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_token_count",
+    "q_dedup_exact", "q_ngram_prefix", "q_minhash_lsh", "q_simhash", "q_token_count",
     "q_quality", "q_lang_id", "q_fingerprint", "q_ann_topk", "q_ann_lsh",
     "q_ann_ivf", "q_embedding_neardup", "q_dx_filter", "q_dx_map",
     "q_sniff_auto", "q_cast_ladder")

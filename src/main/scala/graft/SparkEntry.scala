@@ -385,6 +385,15 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "q_ngram_prefix" -> ((s, dir) => {
+      // SAME output as q_ngram_jaccard through the prefix-filtered
+      // candidate path (rarest-gram prefixes + length filter) — the
+      // standalone 100 TB form; gated against the identical exhaustive oracle
+      TextDedup.ngramJaccardPrefixPairs(t(s, dir, "documents"), threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("j"))
+        .orderBy("a", "b")
+    }),
+
     "q_minhash_lsh" -> ((s, dir) => {
       // minhash (128 hashes, 64 bands x 2) -> bucket join -> exact verify;
       // at threshold 0.5 recall is 1-1e-8 -> equals the exhaustive oracle
@@ -759,6 +768,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ngram_jaccard" -> jaccardOracle,
+    "q_ngram_prefix" -> jaccardOracle,
     "q_minhash_lsh" -> jaccardOracle,
 
     "q_token_count" ->

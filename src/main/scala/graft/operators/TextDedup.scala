@@ -75,6 +75,63 @@ object TextDedup {
       .select("a", "b", "jaccard")
   }
 
+  /**
+   * Exact threshold-Jaccard self-join with PREFIX FILTERING — the standalone
+   * scale path that [[ngramJaccardPairs]] cannot be (its candidate join runs
+   * over EVERY shingle occurrence: O(sum over shingle of df²), quadratic in
+   * the hottest stopword-grams at corpus scale). Classic signature-based
+   * set-similarity join (SSJoin/PPJoin family, public literature):
+   *
+   *   1. order each doc's shingles by ascending GLOBAL document frequency
+   *      (ties by shingle — a total order, deterministic across runs);
+   *   2. keep only the first `|X| - ceil(t·|X|) + 1` tokens (the prefix):
+   *      any pair with J ≥ t must share at least one PREFIX token (if two
+   *      sets share none of each other's prefixes, their intersection is
+   *      bounded below ceil(t·max(|A|,|B|)) — the pigeonhole lemma);
+   *   3. equi-join on prefix tokens only, with the length filter
+   *      `min(|A|,|B|) ≥ t·max(|A|,|B|)` (J ≥ t forces it);
+   *   4. exact-Jaccard verify on the deduplicated candidates.
+   *
+   * Output is IDENTICAL to [[ngramJaccardPairs]] (the filter is lossless);
+   * the shuffle is proportional to Σ over prefix-token of df_prefix² — and
+   * prefix tokens are by construction the RAREST grams of each doc, so the
+   * hot high-df shingles that blow up the naive join never generate a
+   * candidate. Reference analogue: none (DataX has no similarity join);
+   * this is the 100 TB standalone form of the operator.
+   */
+  def ngramJaccardPrefixPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sh = shingles(df, idCol, textCol, k)
+    // global document frequency per shingle: one shuffle on shingle, then
+    // carried back to the occurrence rows by the same-key join (co-partitioned
+    // with the groupBy — no extra exchange of the big side)
+    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(docFreq, Seq("shingle"))
+    // per doc: sort by (df, shingle), keep the prefix
+    val prefixes = ranked
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("sz"),
+        sort_array(collect_list(struct(col("__df"), col("shingle")))).as("__toks"))
+      .select(col(idCol), col("sz"),
+        explode(expr(s"transform(slice(__toks, 1, " +
+          s"greatest(1, cast(sz - ceil($threshold * sz) + 1 as int))), x -> x.shingle)"))
+          .as("shingle"))
+    val l = prefixes.select(col(idCol).as("a"), col("sz").as("sza"), col("shingle"))
+    val r = prefixes.select(col(idCol).as("b"), col("sz").as("szb"), col("shingle"))
+    val candidates = l.join(r, Seq("shingle"))
+      .filter(col("a") < col("b") &&
+        least(col("sza"), col("szb")) >= greatest(col("sza"), col("szb")) * threshold)
+      .select("a", "b").distinct()
+    val docs = df.select(col(idCol), col(textCol))
+    val pairs = candidates
+      .join(docs.select(col(idCol).as("a"), col(textCol).as("ta")), Seq("a"))
+      .join(docs.select(col(idCol).as("b"), col(textCol).as("tb")), Seq("b"))
+    exactJaccardOnPairs(pairs, "ta", "tb", k)
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** MinHash signatures: for each of `numHashes` seeded hash functions, the
     * min shingle hash. Returned long array column `sig`.
     *

@@ -590,8 +590,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
           .seq.toSeq
       } else {
         val slices = math.min(named.size, spark.sparkContext.defaultParallelism * 2)
+        // ship the session's Hadoop conf (spark.hadoop.* — object-store
+        // credentials, endpoints) to the executor-side footer readers; a bare
+        // new Configuration() there would read the wrong filesystem config
+        val serConf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
         spark.sparkContext.parallelize(named, slices).map { case (p, b, n) =>
-          (p, b, n, SnapTable.footerStats(p, new Configuration()))
+          (p, b, n, SnapTable.footerStats(p, serConf.value))
         }.collect().toSeq
       }
     counted.map { case (_, bucket, name, st) =>

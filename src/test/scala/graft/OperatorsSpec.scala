@@ -105,6 +105,23 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered jaccard join == brute-force jaccard join") {
+    // the prefix filter is lossless: identical (a, b, jaccard) output,
+    // only the candidate generation changes (rarest-gram prefixes)
+    val brute = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val prefix = TextDedup.ngramJaccardPrefixPairs(docs, threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    assert(prefix == brute)
+    // and at a second threshold (different prefix lengths)
+    val brute8 = TextDedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val prefix8 = TextDedup.ngramJaccardPrefixPairs(docs, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(prefix8 == brute8)
+  }
+
   test("simhash finds the planted near-dups") {
     val planted = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
