@@ -92,45 +92,78 @@ object TextDedup {
    *      `min(|A|,|B|) ≥ t·max(|A|,|B|)` (J ≥ t forces it);
    *   4. exact-Jaccard verify on the deduplicated candidates.
    *
-   * Output is IDENTICAL to [[ngramJaccardPairs]] (the filter is lossless);
-   * the shuffle is proportional to Σ over prefix-token of df_prefix² — and
-   * prefix tokens are by construction the RAREST grams of each doc, so the
-   * hot high-df shingles that blow up the naive join never generate a
-   * candidate. Reference analogue: none (DataX has no similarity join);
-   * this is the 100 TB standalone form of the operator.
+   * Output is IDENTICAL to [[ngramJaccardPairs]] (both filters are
+   * lossless); the candidate shuffle is proportional to Σ over prefix-token
+   * of df_prefix² — and prefix tokens are by construction the RAREST grams
+   * of each doc, so the hot high-df shingles that blow up the naive join
+   * rarely generate a candidate. The verify never re-tokenizes text: each
+   * doc's gram array is materialized ONCE (the same collect that builds the
+   * prefixes) and joined to the candidate pairs — broadcast below
+   * [[VerifyBroadcastMaxDocs]] docs, shuffle join beyond (candidate-
+   * proportional either way). Filter boundaries subtract 1e-6 so FP
+   * rounding can only ADMIT a borderline candidate (the exact verify
+   * rejects it), never drop a true pair. Reference analogue: none (DataX
+   * has no similarity join); this is the 100 TB standalone form of the
+   * operator.
    */
   def ngramJaccardPrefixPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val t = threshold
     val sh = shingles(df, idCol, textCol, k)
     // global document frequency per shingle: one shuffle on shingle, then
     // carried back to the occurrence rows by the same-key join (co-partitioned
     // with the groupBy — no extra exchange of the big side)
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    val ranked = sh.join(docFreq, Seq("shingle"))
-    // per doc: sort by (df, shingle), keep the prefix
-    val prefixes = ranked
+    // per-doc canonical gram array, rarest-first (ties by shingle: a total
+    // order, deterministic across runs); reused by the prefix explode AND
+    // both verify sides, so it is computed exactly once
+    val docGrams = sh.join(docFreq, Seq("shingle"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("sz"),
-        sort_array(collect_list(struct(col("__df"), col("shingle")))).as("__toks"))
-      .select(col(idCol), col("sz"),
-        explode(expr(s"transform(slice(__toks, 1, " +
-          s"greatest(1, cast(sz - ceil($threshold * sz) + 1 as int))), x -> x.shingle)"))
-          .as("shingle"))
-    val l = prefixes.select(col(idCol).as("a"), col("sz").as("sza"), col("shingle"))
-    val r = prefixes.select(col(idCol).as("b"), col("sz").as("szb"), col("shingle"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("shingle")))).as("__toks"))
+      .select(col(idCol), expr("transform(__toks, x -> x.shingle)").as("grams"),
+        size(col("__toks")).as("sz"))
+      .cache()
+    val nDocs = docGrams.count() // materializes the cache; drives the verify-join choice
+    // prefix tokens with their rank (1-based) for the positional filter
+    val prefixes = docGrams.select(col(idCol), col("sz"),
+      posexplode(expr(s"slice(grams, 1, greatest(1, " +
+        s"cast(sz - ceil($t * sz - 1e-6) + 1 as int)))")).as(Seq("__p0", "shingle")))
+      .withColumn("rn", col("__p0") + 1).drop("__p0")
+    val l = prefixes.select(col(idCol).as("a"), col("sz").as("sza"),
+      col("rn").as("ra"), col("shingle"))
+    val r = prefixes.select(col(idCol).as("b"), col("sz").as("szb"),
+      col("rn").as("rb"), col("shingle"))
     val candidates = l.join(r, Seq("shingle"))
-      .filter(col("a") < col("b") &&
-        least(col("sza"), col("szb")) >= greatest(col("sza"), col("szb")) * threshold)
+      .filter(col("a") < col("b")
+        // length filter: J >= t forces min >= t * max
+        && least(col("sza"), col("szb")) >=
+          greatest(col("sza"), col("szb")) * t - 1e-6
+        // positional filter (PPJoin): common tokens all rank at/after the
+        // FIRST shared one, so overlap <= 1 + min(|A|-ra, |B|-rb); J >= t
+        // needs overlap >= t/(1+t) * (|A|+|B|)
+        && (lit(1) + least(col("sza") - col("ra"), col("szb") - col("rb"))) >=
+          (col("sza") + col("szb")) * (t / (1 + t)) - 1e-6)
       .select("a", "b").distinct()
-    val docs = df.select(col(idCol), col(textCol))
-    val pairs = candidates
-      .join(docs.select(col(idCol).as("a"), col(textCol).as("ta")), Seq("a"))
-      .join(docs.select(col(idCol).as("b"), col(textCol).as("tb")), Seq("b"))
-    exactJaccardOnPairs(pairs, "ta", "tb", k)
+    val ga = docGrams.select(col(idCol).as("a"), col("grams").as("__ga"),
+      col("sz").as("sza"))
+    val gb = docGrams.select(col(idCol).as("b"), col("grams").as("__gb"),
+      col("sz").as("szb"))
+    val (ja, jb) =
+      if (nDocs <= VerifyBroadcastMaxDocs) (broadcast(ga), broadcast(gb))
+      else (ga, gb)
+    candidates.join(ja, Seq("a")).join(jb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("__ga"), col("__gb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** Above this many docs the verify side's gram arrays stop being broadcast
+    * (~100 MB at typical doc sizes) and the candidate pairs shuffle-join
+    * them instead — still candidate-proportional. */
+  val VerifyBroadcastMaxDocs: Long = 64000L
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions, the
     * min shingle hash. Returned long array column `sig`.

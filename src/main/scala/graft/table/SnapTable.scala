@@ -360,19 +360,36 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    * otsstreamreader/.../core/MultiVerModeRecordSender.java vs
    * SingleVerAndUpOnlyModeRecordSender.java).
    *
-   * Cost is O(versions x files) — an audit/replay path, not the serving
-   * path; production bounds it by expiring old snapshots.
+   * Scan cost is O(DISTINCT files), not O(versions x files): data files are
+   * immutable and a removed path is never re-listed, so each file is read
+   * exactly once, tagged with the earliest version whose manifest lists it;
+   * a row's `first_version` is then the min over its containing files (CoW
+   * rewrites copy surviving rows forward into later-added files). Manifest
+   * resolution is still O(versions) driver-side reads.
    */
   def readVersionHistory(spark: SparkSession): DataFrame = {
-    val vs = history.filter(_ > 0)
+    val vs = history.filter(_ > 0).sorted
     require(vs.nonEmpty, "table has no committed data versions")
-    val all = vs.map { v =>
-      val snap = snapshot(v)
-      readAligned(spark, snap, snap.files, snap.schema).withColumn("__v", lit(v))
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    val dataCols = all.columns.filterNot(_ == "__v").toSeq
-    // rows for one (key, lsn) are identical across versions (data files are
-    // immutable); keep the newest-schema copy + the first version seen
+    val snaps = vs.map(v => (v, snapshot(v)))
+    // the schema lattice only adds nullable columns / widens, so the newest
+    // retained schema is the union the old per-version unionByName produced
+    val target = snaps.last._2.schema
+    // physical-schema dictionary merged across retained snapshots (a very
+    // old file's schemaV entry may predate the newest manifest)
+    val ddlByV = snaps.map(_._2.schemaVersions).reduce(_ ++ _)
+    val firstListed = scala.collection.mutable.LinkedHashMap.empty[String, (DataFileEntry, Long)]
+    for ((v, s) <- snaps; f <- s.files if !firstListed.contains(f.path))
+      firstListed(f.path) = (f, v)
+    val all = firstListed.values.toSeq.groupBy { case (f, v) => (f.schemaV, v) }
+      .toSeq.map { case ((sv, vAdd), fs) =>
+        val physical = StructType.fromDDL(ddlByV(sv.toString))
+        val df = spark.read.schema(physical)
+          .parquet(fs.map { case (f, _) => s"$root/${f.path}" }: _*)
+        SchemaEvolution.align(df, target).withColumn("__v", lit(vAdd))
+      }.reduce(_ unionByName _)
+    val dataCols = target.fields.map(_.name).toSeq
+    // rows for one (key, lsn) are identical across copies (files are
+    // immutable); keep the newest copy + the first version seen
     all.groupBy((Schemas.keyCols :+ "lsn").map(col): _*)
       .agg(min(col("__v")).as("first_version"),
         max_by(struct(dataCols.map(col): _*), col("__v")).as("w"))
