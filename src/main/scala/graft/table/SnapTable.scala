@@ -181,15 +181,16 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     val out = exclusiveCreate(p) match {
       case Some(o) => o
       case None =>
-        // version already claimed. If the claimant CRASHED mid-write it left
-        // a torn (unparseable) manifest that would own this version forever:
-        // currentVersion skips it, every later commit re-targets it,
-        // exclusiveCreate keeps failing, and retryingCommit gives up after 5
-        // rounds — a wedged table. Reclaim: if the file is unparseable AND
-        // older than a grace window (a LIVE writer between claim and close
-        // is within the window), delete it and take the claim ourselves.
-        if (reclaimTorn(p)) exclusiveCreate(p).getOrElse(return false)
-        else return false
+        // version already claimed — by a live concurrent writer (its
+        // manifest will be parseable shortly) or by a crashed one (a torn
+        // file). Either way the claim path NEVER deletes or re-takes the
+        // slot: the caller's retry recomputes its target via [[nextVersion]],
+        // which advances past torn-past-grace claims, so a crashed writer
+        // just burns one version number. (An in-claim reclaim-by-delete was
+        // rejected: two racing reclaimers can both parse-check the same old
+        // corpse and then one deletes the OTHER's freshly re-created claim —
+        // check-then-delete is not atomic — silently losing its commit.)
+        return false
     }
     // a write/close failure must not leave a half-written claim either:
     // delete the claimed file before rethrowing so the next attempt (ours
@@ -212,20 +213,39 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     true
   }
 
-  /** True if `p` is a TORN manifest (unparseable JSON) from a crashed
-    * writer, older than [[SnapTable.tornManifestGraceMs]], and was deleted
-    * here. A parseable file is a legitimate concurrent commit; a young
-    * unparseable file may be a live writer mid-close — both are left alone
-    * (the caller then loses the claim race as usual). */
-  private def reclaimTorn(p: Path): Boolean = {
+  /** True if `p` is a TORN manifest (unparseable JSON) older than
+    * [[SnapTable.tornManifestGraceMs]] — a crashed writer's corpse. A
+    * parseable file is a legitimate commit; a young unparseable file may be
+    * a live writer between claim and close (the grace window is the
+    * correctness boundary: a writer slower than it could otherwise be
+    * skipped over and lose its commit). */
+  private def tornPastGrace(p: Path): Boolean = {
     val st = try fs.getFileStatus(p) catch { case _: java.io.IOException => return false }
     val parseable =
       try { Serialization.read[Snapshot](readString(p)); true }
       catch { case scala.util.control.NonFatal(_) => false }
     if (parseable) return false
-    val ageMs = System.currentTimeMillis() - st.getModificationTime
-    if (ageMs < SnapTable.tornManifestGraceMs) return false
-    try fs.delete(p, false) catch { case _: java.io.IOException => return false }
+    System.currentTimeMillis() - st.getModificationTime >= SnapTable.tornManifestGraceMs
+  }
+
+  /** Delete `p` if [[tornPastGrace]]; retention-path GC only — the commit
+    * claim path never deletes (see [[tryCommit]]). Safe there: writers
+    * allocate versions via [[nextVersion]], which only targets a number
+    * below an existing claim file after that file is already gone. */
+  private def reclaimTorn(p: Path): Boolean =
+    tornPastGrace(p) &&
+      (try fs.delete(p, false) catch { case _: java.io.IOException => false })
+
+  /** Next commit target: the first version past `cur` whose slot is either
+    * free or held by a torn-past-grace corpse (skipped — the crashed writer
+    * permanently burns that number; `parent` records real lineage, so gaps
+    * are harmless). A YOUNG unparseable claim is NOT skipped: targeting it
+    * loses the exclusive-create race and the retry loop effectively waits
+    * for the claimant to finish (new current snapshot) or die (grace). */
+  private def nextVersion(cur: Long): Long = {
+    var v = cur + 1
+    while (fs.exists(snapPath(v)) && tornPastGrace(snapPath(v))) v += 1
+    v
   }
 
   /** Atomic create-if-absent of `p`; None when the version is already
@@ -299,7 +319,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     * [[requireBucketFn]] exists to prevent — when in doubt, rebucket()). */
   def stampBucketFn(version: Int = SnapTable.BucketFnVersion): Unit = {
     val snap = snapshot()
-    commit(snap.copy(version = snap.version + 1, parent = snap.version,
+    commit(snap.copy(version = nextVersion(snap.version), parent = snap.version,
       props = snap.props + (PropBucketFn -> version.toString)))
   }
 
@@ -368,9 +388,13 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    * resolution is still O(versions) driver-side reads.
    */
   def readVersionHistory(spark: SparkSession): DataFrame = {
-    val vs = history.filter(_ > 0).sorted
-    require(vs.nonEmpty, "table has no committed data versions")
-    val snaps = vs.map(v => (v, snapshot(v)))
+    // skip torn claims from crashed writers (they were never committed
+    // versions; retention GCs them past the grace window)
+    val snaps = history.filter(_ > 0).sorted.flatMap { v =>
+      try Seq((v, snapshot(v)))
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+    require(snaps.nonEmpty, "table has no committed data versions")
     // the schema lattice only adds nullable columns / widens, so the newest
     // retained schema is the union the old per-version unionByName produced
     val target = snaps.last._2.schema
@@ -554,7 +578,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     //    inserted between the reduce and the bucketed write.
     val unioned = old.unionByName(aligned)
     val winners = SnapTable.lwwWinners(unioned, carrySchema, math.max(1, touched.size))
-    val newVersion = snap.version + 1
+    val newVersion = nextVersion(snap.version)
     val commitRel = SnapTable.commitDir(newVersion)
     withLwwAggConf(spark) {
       SnapTable.applyDerived(winners, derived)
@@ -765,7 +789,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     val winners = SnapTable.lwwWinners(aligned, reduceSchema,
       math.max(1, snap.numBuckets / 4))
 
-    val newVersion = snap.version + 1
+    val newVersion = nextVersion(snap.version)
     val commitRel = SnapTable.commitDir(newVersion)
     withLwwAggConf(batch.sparkSession) {
       SnapTable.applyDerived(winners, derived)
@@ -816,7 +840,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       readAligned(spark, snap, rewrite, target)
         .withColumn(BucketCol, bucketExpr(snap.numBuckets)),
       target, math.max(1, dirty.size))
-    val newVersion = snap.version + 1
+    val newVersion = nextVersion(snap.version)
     val commitRel = SnapTable.commitDir(newVersion)
     // compaction is the read-optimization pass: cluster rows by merge key
     // within each bucket file so parquet row-group min/max stats line up
@@ -861,7 +885,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     val all = readAligned(spark, snap, snap.files, target)
       .withColumn(BucketCol, bucketExpr(newBuckets))
     val winners = SnapTable.lwwWinners(all, target, newBuckets)
-    val newVersion = snap.version + 1
+    val newVersion = nextVersion(snap.version)
     val commitRel = SnapTable.commitDir(newVersion)
     withLwwAggConf(spark) {
       winners
@@ -899,7 +923,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     val kept = readAligned(spark, snap, rewrite, target)
       .filter(!(col("op") === "D" && col("lsn") < lsnWatermark))
       .withColumn(BucketCol, bucketExpr(snap.numBuckets))
-    val newVersion = snap.version + 1
+    val newVersion = nextVersion(snap.version)
     val commitRel = SnapTable.commitDir(newVersion)
     kept.repartition(math.max(1, buckets.size), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$commitRel")

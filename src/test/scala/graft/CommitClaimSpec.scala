@@ -66,7 +66,7 @@ class CommitClaimSpec extends SparkSpec {
     assert(t.currentVersion == 3L)
   }
 
-  test("a stale torn manifest is reclaimed; a fresh one is honored") {
+  test("a stale torn claim is skipped (version burned), a fresh one honored") {
     val root = tmpDir("reclaim")
     val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
     CdcPipeline.applyBatch(t, (1 to 10).map(i => ev(i, 100 + i)).toDF(), 0)
@@ -77,25 +77,33 @@ class CommitClaimSpec extends SparkSpec {
     // within the grace window the claim is honored (it could be a LIVE
     // writer between claim and close) — the commit loses the race as usual
     assert(!t.tryCommit(base.copy(version = 2L)))
-    // past the grace window the corpse is reclaimed and the commit proceeds
+    // past the grace window a direct claim on the slot STILL loses (the
+    // claim path never deletes — two racing recoveries could otherwise
+    // destroy each other's fresh claim); recovery is version allocation
+    // skipping the corpse: the next commit burns 2 and lands on 3
     val prev = SnapTable.tornManifestGraceMs
     SnapTable.tornManifestGraceMs = 0L
     try {
-      assert(t.tryCommit(base.copy(version = 2L,
-        props = base.props + ("reclaimed" -> "yes"))))
+      assert(!t.tryCommit(base.copy(version = 2L)))
+      assert(t.merge(Seq(ev(11, 201)).toDF(), epoch = 1)
+        .isInstanceOf[MergeResult.Committed])
     } finally SnapTable.tornManifestGraceMs = prev
-    assert(t.currentVersion == 2L)
-    assert(t.snapshot(2L).props("reclaimed") == "yes")
-    assert(t.read(spark).count() == 10)
-    // and the full merge path rides the same recovery: another corpse on
-    // the NEXT version must not wedge ingest
-    Files.write(Paths.get(root, "meta", "snap-00000003.json"),
-      """{"version":3,"paren""".getBytes(StandardCharsets.UTF_8))
+    assert(t.currentVersion == 3L)
+    assert(t.read(spark).count() == 11)
+    // the corpse persists (retention GCs it) and stays invisible to readers
+    assert(Files.exists(torn))
+    assert(t.history.contains(2L))
+    // another corpse on the NEXT version must not wedge ingest either
+    Files.write(Paths.get(root, "meta", "snap-00000004.json"),
+      """{"version":4,"paren""".getBytes(StandardCharsets.UTF_8))
     SnapTable.tornManifestGraceMs = 0L
-    try assert(t.merge(Seq(ev(11, 201)).toDF(), epoch = 1)
+    try assert(t.merge(Seq(ev(12, 301)).toDF(), epoch = 2)
       .isInstanceOf[MergeResult.Committed])
     finally SnapTable.tornManifestGraceMs = prev
-    assert(t.read(spark).count() == 11)
+    assert(t.currentVersion == 5L)
+    assert(t.read(spark).count() == 12)
+    // the audit read skips the torn claims instead of crashing
+    assert(t.readVersionHistory(spark).count() >= 12)
   }
 
   test("expireSnapshots skips torn manifests instead of crashing") {
