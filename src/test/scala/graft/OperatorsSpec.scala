@@ -122,6 +122,45 @@ class OperatorsSpec extends SparkSpec {
     assert(prefix8 == brute8)
   }
 
+  test("prefix jaccard join == independent scala oracle on random corpora") {
+    // seeded-random property check against an INDEPENDENT plain-Scala
+    // implementation (not the other Spark path): dense small-vocab corpora
+    // with planted dups, short docs (< k words), identical texts, and
+    // thresholds chosen to sit on rational boundaries (FP-hardening)
+    val k = 3
+    def shingleSet(text: String): Set[String] = {
+      val w = text.trim.split("\\s+").toSeq
+      if (w.size >= k) w.sliding(k).map(_.mkString(" ")).toSet else Set(text)
+    }
+    for ((seed, t) <- Seq((1, 0.5), (2, 0.3), (3, 0.75), (4, 1.0), (5, 2.0 / 3.0))) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 12).map(i => s"w$i")
+      def doc(): String =
+        (0 until (1 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (0 until 60).map(i => (i.toLong, doc()))
+      // planted: exact copies and one-word edits of random docs
+      val planted = (0 until 15).map { i =>
+        val (_, txt) = base(rnd.nextInt(base.size))
+        val words = txt.split(" ")
+        val edited = if (i % 3 == 0 || words.length < 2) txt
+          else words.updated(rnd.nextInt(words.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (1000L + i, edited)
+      }
+      val corpus = base ++ planted
+      val expected = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter) if j >= t
+      } yield (a, b)).toSet
+      val df = corpus.toDF("doc_id", "text")
+      val got = TextDedup.ngramJaccardPrefixPairs(df, threshold = t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"seed=$seed t=$t missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("simhash finds the planted near-dups") {
     val planted = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
