@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
  *   job    --job FILE.json        # DataX-shaped job config (reader ->
  *                                 # transformer chain -> writer), the
  *                                 # `datax.py job.json` parity entry
+ *   dedup  --in PATH --method exact|jaccard|prefix|minhash|simhash|embedding
+ *          [--id doc_id] [--text text] [--vec embedding] [--threshold 0.5]
+ *          [--k 3] [--max-hamming 3] [--out DIR] [--limit 20]
+ *                                 # training-data dedup over a parquet path or
+ *                                 # snapshot table ("prefix" = exact jaccard
+ *                                 # via prefix filtering, the corpus-scale path)
+ *   ann    --in PATH [--k 10] [--queries N | --query-id ID]
+ *          [--strategy brute|lsh|ivf] [--id vec_id] [--vec embedding]
+ *          [--out DIR] [--limit 20]
+ *                                 # approximate-nearest-neighbor top-k over an
+ *                                 # embedding column (dim inferred)
  */
 object Main {
 
@@ -208,8 +219,71 @@ object Main {
           if (report.error.nonEmpty) sys.exit(1)
         }
 
+      case "dedup" =>
+        import graft.operators.{Similarity, TextDedup}
+        val df = readInput(spark, opts("in"))
+        val id = opts.getOrElse("id", "doc_id")
+        val text = opts.getOrElse("text", "text")
+        val t = opts.getOrElse("threshold", "0.5").toDouble
+        val k = opts.getOrElse("k", "3").toInt
+        val result = opts.getOrElse("method", "exact") match {
+          case "exact" => TextDedup.exact(df, id, text)
+          case "jaccard" => TextDedup.ngramJaccardPairs(df, id, text, k, t)
+          case "prefix" => TextDedup.ngramJaccardPrefixPairs(df, id, text, k, t)
+          case "minhash" => TextDedup.minhashLshPairs(df, id, text, k, threshold = t)
+          case "simhash" => TextDedup.simhashPairs(df, id, text,
+            maxHamming = opts.getOrElse("max-hamming", "3").toInt)
+          case "embedding" =>
+            val vec = opts.getOrElse("vec", "embedding")
+            Similarity.nearDupPairs(df, t, dim = vecDim(df, vec),
+              idCol = opts.getOrElse("id", "vec_id"), vecCol = vec)
+          case m => throw new IllegalArgumentException(s"dedup method '$m'")
+        }
+        emit(result, opts, s"dedup method=${opts.getOrElse("method", "exact")}")
+
+      case "ann" =>
+        import graft.operators.Similarity
+        val corpus = readInput(spark, opts("in"))
+        val id = opts.getOrElse("id", "vec_id")
+        val vec = opts.getOrElse("vec", "embedding")
+        val k = opts.getOrElse("k", "10").toInt
+        val dim = vecDim(corpus, vec)
+        val queries = opts.get("query-id") match {
+          case Some(q) => corpus.filter(col(id) === lit(q.toLong))
+          case None => corpus.orderBy(id).limit(opts.getOrElse("queries", "10").toInt)
+        }
+        val result = opts.getOrElse("strategy", "brute") match {
+          case "brute" => Similarity.bruteForceTopK(corpus, queries, k, dim, id, vec)
+          case "lsh" => Similarity.lshTopK(corpus, queries, k, dim, idCol = id, vecCol = vec)
+          case "ivf" => Similarity.ivfTopK(corpus, queries, k, dim, idCol = id, vecCol = vec)
+          case s => throw new IllegalArgumentException(s"ann strategy '$s'")
+        }
+        emit(result, opts, s"ann strategy=${opts.getOrElse("strategy", "brute")} k=$k dim=$dim")
+
       case other =>
         System.err.println(s"unknown subcommand '$other'"); sys.exit(2)
     } finally spark.stop()
+  }
+
+  /** A parquet path, or a snapshot table dir (current user-facing state). */
+  private def readInput(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    if (SnapTable.exists(spark, path)) SnapTable.load(spark, path).read(spark)
+    else spark.read.parquet(path)
+
+  private def vecDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** `--out DIR` writes parquet and prints the row count; otherwise shows
+    * the first `--limit` rows (one bounded action either way). */
+  private def emit(df: org.apache.spark.sql.DataFrame, opts: Map[String, String],
+      label: String): Unit = opts.get("out") match {
+    case Some(out) =>
+      df.write.mode("overwrite").parquet(out)
+      val n = df.sparkSession.read.parquet(out).count()
+      println(s"$label rows=$n out=$out")
+    case None =>
+      println(label)
+      df.show(opts.getOrElse("limit", "20").toInt, truncate = 40)
   }
 }
