@@ -240,9 +240,11 @@ object CdcPipeline {
       val fs = dir.getFileSystem(conf)
       if (fs.exists(dir)) {
         fs.listStatus(dir).foreach { st =>
-          val name = st.getPath.getName // epoch-XXXXXXXX[.json]
-          val ep = name.stripPrefix("epoch-").stripSuffix(".json")
-          if (ep.forall(_.isDigit) && ep.toLong < beforeEpoch)
+          // epoch-XXXXXXXX[.json | .skip-<nanos>.json] (dirs or files):
+          // parse the leading digit run so skip-suffixed records GC too
+          val name = st.getPath.getName
+          val ep = name.stripPrefix("epoch-").takeWhile(_.isDigit)
+          if (ep.nonEmpty && ep.toLong < beforeEpoch)
             fs.delete(st.getPath, true): Unit
         }
       }
@@ -277,7 +279,15 @@ object CdcPipeline {
     import org.json4s.jackson.Serialization
     implicit val fmts: Formats = Serialization.formats(NoTypeHints)
     val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(table.root, f"meta/lineage/epoch-${rec.epoch}%08d.json")
+    // exactly one writer commits a given epoch (the table's epoch guard),
+    // so the authoritative record owns `epoch-N.json`; a REPLAYED or
+    // concurrently-racing consumer records its skip under a distinct name —
+    // writing it to the same path would overwrite (or tear, under
+    // concurrent create) the committed writer's lineage
+    val name =
+      if (rec.result == "committed") f"epoch-${rec.epoch}%08d.json"
+      else f"epoch-${rec.epoch}%08d.skip-${System.nanoTime()}.json"
+    val p = new org.apache.hadoop.fs.Path(table.root, s"meta/lineage/$name")
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(Serialization.write(rec).getBytes(StandardCharsets.UTF_8))

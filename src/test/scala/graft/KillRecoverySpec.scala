@@ -46,6 +46,43 @@ class KillRecoverySpec extends SparkSpec {
       "--mode", "stream", "--max-files-per-trigger", "1", "--cores", "2")
   }
 
+  test("two JVMs ingest the same changelog into one table: each epoch applies once") {
+    // cross-process optimistic concurrency: both children see every file
+    // (separate checkpoints), race every epoch's commit, and the epoch
+    // guard + exclusive-create claim must resolve each epoch to exactly
+    // one Committed — the in-process race test (CommitClaimSpec) cannot
+    // cover two separate SparkSessions/JVMs contending on the real FS
+    val log = tmpDir("race-log")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val tableDir = tmpDir("race-table")
+    SnapTable.create(spark, tableDir, Schemas.payloadV2, numBuckets = 8)
+    val procs = (0 until 2).map { i =>
+      new ProcessBuilder(
+        (childCmd(log, tableDir) ++ Seq("--checkpoint", tmpDir(s"race-ckpt-$i"))): _*)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectErrorStream(true).start()
+    }
+    procs.foreach { p =>
+      assert(p.waitFor(300, TimeUnit.SECONDS), "racing ingest timed out")
+      assert(p.exitValue() == 0, s"racing ingest failed rc=${p.exitValue()}")
+    }
+    val t = SnapTable.load(spark, tableDir)
+    val got = t.read(spark).select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == oracleState())
+    // lineage from BOTH writers lands in the shared meta dir (the committed
+    // writer owns epoch-N.json; racers record skips under distinct names):
+    // every epoch resolves to EXACTLY one committed + any number of skips
+    val byEpoch = CdcPipeline.readLineage(spark, t).groupBy(_.epoch)
+    assert(byEpoch.nonEmpty)
+    byEpoch.foreach { case (e, recs) =>
+      assert(recs.count(_.result == "committed") == 1,
+        s"epoch $e: ${recs.map(_.result)}")
+    }
+    assert(byEpoch.values.flatten.exists(_.result == "skipped_epoch"),
+      "expected at least one cross-writer skip (both children raced every epoch)")
+  }
+
   test("SIGKILL mid-ingest, twice: resume converges to oracle, no double-apply") {
     val log = tmpDir("kill-log")
     ChangeStreamGen.writeChangelog(spark, cfg, log)
