@@ -259,10 +259,25 @@ object CdcPipeline {
       n: Int): Unit = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(Dirty.ReasonCol).orderBy(col("lsn").asc_nulls_first)
+    // write ASIDE, then claim the epoch dir by rename — two writers racing
+    // the same epoch (see the cross-JVM race test) would otherwise
+    // overwrite the same directory concurrently (delete-under-write); with
+    // rename the first claimant's samples stand and the loser discards its
+    // identical copy
+    val finalDir = new org.apache.hadoop.fs.Path(table.root, f"meta/dirty/epoch-$epoch%08d")
+    val aside = new org.apache.hadoop.fs.Path(table.root,
+      f"meta/dirty/.tmp-epoch-$epoch%08d-${System.nanoTime()}")
     tagged.filter(col(Dirty.ReasonCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
-      .write.mode("overwrite").parquet(f"${table.root}/meta/dirty/epoch-$epoch%08d")
+      .write.mode("overwrite").parquet(aside.toString)
+    val fs = finalDir.getFileSystem(tagged.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(finalDir) || !fs.rename(aside, finalDir)) fs.delete(aside, true): Unit
+    // exists-then-rename is not atomic: a loser's rename against an existing
+    // dst can land INSIDE it on local FS (dst/.tmp-*; dot-prefixed, so
+    // parquet readers ignore it) — sweep it
+    val nested = new org.apache.hadoop.fs.Path(finalDir, aside.getName)
+    if (fs.exists(nested)) fs.delete(nested, true): Unit
   }
 
   /** Read back the quarantined sample rows of an epoch (empty frame if the
