@@ -87,6 +87,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(lsh == exact, s"LSH near-dup recall broke: ${exact.diff(lsh)}")
   }
 
+  test("prefix jaccard join: candidates equi-join, verify broadcasts the gram arrays") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.TextDedup.ngramJaccardPrefixPairs(docs, threshold = 0.5)
+    val s = planString(df)
+    // candidate generation is an equi-join on the prefix shingle — never a
+    // cross product or nested loop over the corpus
+    assert(!s.contains("CartesianProduct"), s"prefix join must not cross-join:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"prefix join nested-loop:\n$s")
+    // below VerifyBroadcastMaxDocs the gram-array verify sides broadcast
+    // (no shuffle of the arrays to the candidate pairs)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"verify should broadcast gram arrays at test scale:\n$s")
+  }
+
   test("IVF assignment broadcasts centroids and reduces the argmax map-side") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val df = graft.operators.Similarity.ivfTopK(
