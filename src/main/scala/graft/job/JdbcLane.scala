@@ -2,7 +2,7 @@ package graft.job
 
 import graft.sources.{JdbcDialect, JdbcSplit, JdbcWrite, Retry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.json4s._
 
 import java.sql.DriverManager
@@ -154,7 +154,14 @@ object JdbcLane {
     val df = tables.map(readTable).reduce(_ unionByName _)
     (param \ "column").extractOpt[List[String]].getOrElse(List("*")) match {
       case List("*") | Nil => df
-      case cols => df.select(cols.map(col): _*)
+      // the reference's column list admits constants and SQL functions
+      // alongside plain names ("id", "'const'", "upper(name)" — reference
+      // splices them into its SELECT list); plain identifiers bind as
+      // columns (pruning pushes them into the scan), anything else
+      // evaluates as a Spark SQL expression over the scanned row
+      case cols => df.select(cols.map { c =>
+        if (c.matches("[A-Za-z_][A-Za-z0-9_]*")) col(c) else expr(c)
+      }: _*)
     }
   }
 

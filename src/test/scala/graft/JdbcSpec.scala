@@ -268,6 +268,25 @@ class JdbcSpec extends SparkSpec {
     assert(e.getMessage.contains("no connectable"))
   }
 
+  test("reader lane column list admits constants and SQL functions") {
+    import org.json4s.jackson.JsonMethods.parse
+    val conn = derby("coldb")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE src (id INT, name VARCHAR(16))")
+    st.execute("INSERT INTO src VALUES (1, 'ann'), (2, 'bob')")
+    conn.close()
+    // the reference splices constants/functions into its SELECT list
+    // (mysqlreader column doc); plain names prune into the scan, the rest
+    // evaluate as expressions
+    val df = graft.job.JdbcLane.read(spark, parse("""{
+      "username": "app", "password": "app",
+      "connection": [{"jdbcUrl": "jdbc:derby:memory:coldb", "table": ["src"]}],
+      "column": ["id", "'k'", "upper(name)"]}"""), channels = 1)
+    val rows = df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1, "k", "ANN"), (2, "k", "BOB")))
+  }
+
   test("reader lane: jdbcUrl failover array + sampled split balances a skewed pk") {
     import org.json4s.jackson.JsonMethods.parse
     val conn = derby("skewdb")
