@@ -297,6 +297,33 @@ object SparkEntry {
       supp.unionByName(nat).orderBy("src", "id_key")
     }),
 
+    "q_file_roundtrip" -> ((s, dir) => {
+      // HdfsWriter/TxtFile lane end-to-end: typed CSV WRITE (truncate mode,
+      // \N nullFormat, stringified timestamps) then typed CSV READ
+      // (checkedLong / try_cast / cast-ladder) must reproduce the source
+      // values bit-for-bit — longs, doubles (shortest-repr text round-trip),
+      // planted nulls, and second-precision timestamps
+      import graft.sources.{TypedFileSink, TypedFileSource}
+      import graft.sources.TypedFileSource.{ColumnSpec, CsvConfig}
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"))
+      val out = java.nio.file.Files.createTempDirectory("graft-csvrt").toString + "/orders"
+      TypedFileSink.writeCsv(src, out, TypedFileSink.WriteConfig(writeMode = "truncate"))
+      TypedFileSource.readCsv(s, Seq(out), Seq(
+          ColumnSpec(index = Some(0), `type` = "long", name = Some("o_orderkey")),
+          ColumnSpec(index = Some(1), `type` = "long", name = Some("o_custkey")),
+          ColumnSpec(index = Some(2), `type` = "double", name = Some("o_totalprice")),
+          ColumnSpec(index = Some(3), `type` = "datetime",
+            format = Some("yyyy-MM-dd HH:mm:ss"), name = Some("__ts"))),
+        CsvConfig(nullFormat = Some("\\N")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          unix_micros(col("__ts")).as("od_us"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_jdbc_roundtrip" -> ((s, dir) => {
       // CommonRdbmsReader/Writer end-to-end against embedded Derby: batched
       // INSERT write, then a dialect-planned predicate-partitioned read
@@ -745,6 +772,12 @@ object SparkEntry {
         |  SELECT 'nation' AS src, CAST(n_nationkey AS BIGINT) AS id_key,
         |         n_name AS name FROM nation
         |) ORDER BY src, id_key""".stripMargin,
+
+    "q_file_roundtrip" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+        |  epoch_us(o_orderdate) AS od_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_jdbc_roundtrip" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey

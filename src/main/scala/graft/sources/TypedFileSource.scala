@@ -296,10 +296,12 @@ object TypedFileSink {
       case other => throw new IllegalArgumentException(s"writeMode '$other'")
     }
     // stringify timestamps with the configured format (the reference casts
-    // every cell to its text form before writing)
+    // every cell to its text form before writing) — including TIMESTAMP_NTZ,
+    // which parquet sources produce for non-UTC-adjusted logical timestamps
+    // and which would otherwise fall through to the CSV writer's ISO default
     val out = df.select(df.schema.fields.map { f =>
       f.dataType match {
-        case TimestampType | DateType =>
+        case TimestampType | TimestampNTZType | DateType =>
           date_format(col(f.name), cfg.dateFormat).as(f.name)
         case _ => col(f.name)
       }
