@@ -41,7 +41,7 @@ object Bench {
     "q_dedup_exact", "q_ngram_prefix", "q_minhash_lsh", "q_simhash", "q_token_count",
     "q_quality", "q_lang_id", "q_fingerprint", "q_ann_topk", "q_ann_lsh",
     "q_ann_ivf", "q_embedding_neardup", "q_dx_filter", "q_dx_map",
-    "q_sniff_auto", "q_cast_ladder")
+    "q_sniff_auto", "q_cast_ladder", "q_file_roundtrip")
 
   private def newSession(cores: Int): SparkSession = {
     val s = GraftSession.builder(cores).getOrCreate()
