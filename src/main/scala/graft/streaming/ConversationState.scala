@@ -43,7 +43,9 @@ object ConversationState {
           var saw = false
           it.foreach { e =>
             saw = true
-            val micros = e.ts.getTime * 1000L
+            // full microsecond precision: getTime carries only millis; the
+            // Timestamp's nanos field holds the sub-second component
+            val micros = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
             s = ConvState(
               events = s.events + 1,
               maxLsn = math.max(s.maxLsn, e.lsn),
