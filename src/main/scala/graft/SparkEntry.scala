@@ -324,6 +324,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // HdfsWriter ORC lane end-to-end: typed ORC WRITE (truncate mode,
+      // self-describing types — no text stringification) read back through
+      // the typed column projection; values must survive bit-for-bit
+      import graft.sources.{TypedFileSink, TypedFileSource}
+      import graft.sources.TypedFileSource.ColumnSpec
+      val src = t(s, dir, "part").select(
+        col("p_partkey"), col("p_name"),
+        when(col("p_partkey") % 5 === 0, lit(null))
+          .otherwise(col("p_retailprice")).as("p_retailprice"))
+      val out = java.nio.file.Files.createTempDirectory("graft-orcrt").toString + "/part"
+      TypedFileSink.writeOrc(src, out, TypedFileSink.WriteConfig(writeMode = "truncate"))
+      TypedFileSource.readOrc(s, Seq(out), Seq(
+          ColumnSpec(index = Some(0), `type` = "long", name = Some("p_partkey")),
+          ColumnSpec(index = Some(1), `type` = "string", name = Some("p_name")),
+          ColumnSpec(index = Some(2), `type` = "double", name = Some("p_retailprice"))))
+        .orderBy("p_partkey")
+    }),
+
     "q_jdbc_roundtrip" -> ((s, dir) => {
       // CommonRdbmsReader/Writer end-to-end against embedded Derby: batched
       // INSERT write, then a dialect-planned predicate-partitioned read
@@ -778,6 +797,11 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
         |  epoch_us(o_orderdate) AS od_us
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_retailprice END AS p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_jdbc_roundtrip" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey
