@@ -550,6 +550,30 @@ object SparkEntry {
     // Derby serving table (LWW pre-reduce, delete+insert apply, in-DB
     // watermark), then read the SERVING DATABASE back — final serving
     // state must equal the window-rank LWW oracle
+    "q_sync_table" -> ((s, dir) => {
+      // lake-to-lake incremental replication end-to-end: the source table is
+      // built in TWO epochs split by lsn, and Sync.sync runs after EACH —
+      // the second round must deliver exactly the changes past the dest's
+      // own manifest-derived watermark (no side-channel state); a third
+      // round must be a metadata-only no_change. Dest state == source LWW
+      // state == the same window-rank oracle as the pipeline queries.
+      val ev = eventsAsChangelog(t(s, dir, "events"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val half = ev.agg(max("lsn")).head().getLong(0) / 2
+      val work = java.nio.file.Files.createTempDirectory("graft-synct").toString
+      val src = SnapTable.create(s, s"$work/src", Schemas.payloadV2, numBuckets = 16)
+      val dst = SnapTable.create(s, s"$work/dst", Schemas.payloadV2, numBuckets = 16)
+      CdcPipeline.applyBatch(src, ev.filter(col("lsn") < half), epoch = 0)
+      require(graft.cdc.Sync.sync(s, src, dst).result == "committed")
+      CdcPipeline.applyBatch(src, ev.filter(col("lsn") >= half), epoch = 1)
+      require(graft.cdc.Sync.sync(s, src, dst).result == "committed")
+      require(graft.cdc.Sync.sync(s, src, dst).result == "no_change")
+      dst.read(s)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          unix_micros(col("ts")).as("ts_us"), col("lsn"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     "q_sync_jdbc" -> ((s, dir) => {
       import graft.sources.JdbcDialect
       val work = java.nio.file.Files.createTempDirectory("graft-syncq").toString
@@ -886,6 +910,19 @@ object SparkEntry {
         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "q_cdc_pipeline_mor" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_sync_table" ->
       """WITH chg AS (
         |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
         |         CAST(event_id % 50 AS INT) AS turn_idx,
