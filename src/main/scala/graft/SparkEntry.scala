@@ -550,6 +550,43 @@ object SparkEntry {
     // Derby serving table (LWW pre-reduce, delete+insert apply, in-DB
     // watermark), then read the SERVING DATABASE back — final serving
     // state must equal the window-rank LWW oracle
+    "q_time_travel" -> ((s, dir) => {
+      // snapshot isolation / time travel: two lsn-split epochs, then read
+      // the RETAINED OLD version — its state must equal the LWW reduction
+      // of only the first half's changes, byte-for-byte, regardless of the
+      // second commit existing
+      val ev = eventsAsChangelog(t(s, dir, "events"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val half = ev.agg(max("lsn")).head().getLong(0) / 2
+      val work = java.nio.file.Files.createTempDirectory("graft-tt").toString
+      val table = SnapTable.create(s, s"$work/t", Schemas.payloadV2, numBuckets = 16)
+      CdcPipeline.applyBatch(table, ev.filter(col("lsn") < half), epoch = 0)
+      val v1 = table.currentVersion
+      CdcPipeline.applyBatch(table, ev.filter(col("lsn") >= half), epoch = 1)
+      table.readVersion(s, v1)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          unix_micros(col("ts")).as("ts_us"), col("lsn"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    "q_rebucket" -> ((s, dir) => {
+      // layout evolution: rewrite the table from 8 into 32 buckets (the
+      // growth path when buckets outgrow task-sized units), then merge one
+      // more epoch UNDER THE NEW LAYOUT — state must be invariant
+      val ev = eventsAsChangelog(t(s, dir, "events"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val half = ev.agg(max("lsn")).head().getLong(0) / 2
+      val work = java.nio.file.Files.createTempDirectory("graft-rbq").toString
+      val table = SnapTable.create(s, s"$work/t", Schemas.payloadV2, numBuckets = 8)
+      CdcPipeline.applyBatch(table, ev.filter(col("lsn") < half), epoch = 0)
+      table.rebucket(s, 32)
+      CdcPipeline.applyBatch(table, ev.filter(col("lsn") >= half), epoch = 1)
+      table.read(s)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          unix_micros(col("ts")).as("ts_us"), col("lsn"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     "q_sync_table" -> ((s, dir) => {
       // lake-to-lake incremental replication end-to-end: the source table is
       // built in TWO epochs split by lsn, and Sync.sync runs after EACH —
@@ -910,6 +947,33 @@ object SparkEntry {
         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "q_cdc_pipeline_mor" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_time_travel" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events
+        |  WHERE event_id < (SELECT max(event_id) FROM events) // 2)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_rebucket" ->
       """WITH chg AS (
         |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
         |         CAST(event_id % 50 AS INT) AS turn_idx,
