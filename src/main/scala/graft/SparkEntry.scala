@@ -550,6 +550,48 @@ object SparkEntry {
     // Derby serving table (LWW pre-reduce, delete+insert apply, in-DB
     // watermark), then read the SERVING DATABASE back — final serving
     // state must equal the window-rank LWW oracle
+    "q_mor_compact" -> ((s, dir) => {
+      // explicit merge-on-read compaction: two delta epochs, then compact()
+      // folds every delta into base files — state must be invariant and no
+      // deltas may remain
+      val ev = eventsAsChangelog(t(s, dir, "events"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val half = ev.agg(max("lsn")).head().getLong(0) / 2
+      val work = java.nio.file.Files.createTempDirectory("graft-morc").toString
+      val table = SnapTable.create(s, s"$work/t", Schemas.payloadV2, numBuckets = 16)
+      val opts = graft.cdc.PipelineOptions(mergeMode = "mor",
+        morCompactDeltasPerBucket = Int.MaxValue) // no auto-compaction
+      CdcPipeline.applyBatch(table, ev.filter(col("lsn") < half), epoch = 0, opts)
+      CdcPipeline.applyBatch(table, ev.filter(col("lsn") >= half), epoch = 1, opts)
+      require(table.deltaFileCount > 0, "setup should leave deltas")
+      table.compact(s)
+      require(table.deltaFileCount == 0, "compact must fold every delta")
+      table.read(s)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          unix_micros(col("ts")).as("ts_us"), col("lsn"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    "q_expire" -> ((s, dir) => {
+      // retention GC: three commits, keep only the newest snapshot — old
+      // manifests and orphaned files go away, current state is invariant
+      val ev = eventsAsChangelog(t(s, dir, "events"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val third = ev.agg(max("lsn")).head().getLong(0) / 3
+      val work = java.nio.file.Files.createTempDirectory("graft-expq").toString
+      val table = SnapTable.create(s, s"$work/t", Schemas.payloadV2, numBuckets = 16)
+      CdcPipeline.applyBatch(table, ev.filter(col("lsn") < third), epoch = 0)
+      CdcPipeline.applyBatch(table,
+        ev.filter(col("lsn") >= third && col("lsn") < 2 * third), epoch = 1)
+      CdcPipeline.applyBatch(table, ev.filter(col("lsn") >= 2 * third), epoch = 2)
+      val (snapsGone, _) = table.expireSnapshots(keepLast = 1)
+      require(snapsGone >= 2, s"expected >=2 expired manifests, got $snapsGone")
+      table.read(s)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          unix_micros(col("ts")).as("ts_us"), col("lsn"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     "q_time_travel" -> ((s, dir) => {
       // snapshot isolation / time travel: two lsn-split epochs, then read
       // the RETAINED OLD version — its state must equal the LWW reduction
@@ -947,6 +989,32 @@ object SparkEntry {
         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "q_cdc_pipeline_mor" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_mor_compact" ->
+      """WITH chg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         event_type AS role, props AS text, ts, event_id AS lsn,
+        |         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us, lsn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_expire" ->
       """WITH chg AS (
         |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
         |         CAST(event_id % 50 AS INT) AS turn_idx,

@@ -192,7 +192,11 @@ object CdcPipeline {
         case "cow" => table.merge(toMerge, epoch, Some(touched), derived, Some(stats.clean))
         case "mor" =>
           val r = table.mergeDelta(toMerge, epoch, derived)
-          if (table.deltaFileCount > opts.morCompactDeltasPerBucket * table.numBuckets)
+          // Long arithmetic: a large configured threshold (e.g. MaxValue =
+          // "never auto-compact") times the bucket count overflows Int and
+          // would flip this into compact-every-epoch
+          if (table.deltaFileCount.toLong >
+              opts.morCompactDeltasPerBucket.toLong * table.numBuckets)
             table.compact(batch.sparkSession)
           r
         case other => throw new IllegalArgumentException(s"mergeMode '$other'")

@@ -19,8 +19,8 @@ class CdcEndToEndSpec extends SparkSpec {
 
   private val cfg = GenConfig(numEvents = 20000, numConvs = 300, chunks = 6)
 
-  private def collectEvents(): Seq[ChangeEvent] =
-    ChangeStreamGen.events(spark, cfg).drop("pos").as[ChangeEvent].collect().toSeq
+  private def collectEvents(c: GenConfig = cfg): Seq[ChangeEvent] =
+    ChangeStreamGen.events(spark, c).drop("pos").as[ChangeEvent].collect().toSeq
 
   private def tableState(t: SnapTable): Seq[(String, Int, String)] =
     t.read(spark).select("conv_id", "turn_idx", "text")
@@ -76,20 +76,24 @@ class CdcEndToEndSpec extends SparkSpec {
   }
 
   test("chunk-ledger source: crash-resume from the chunk-offset checkpoint") {
+    // many small chunks: the stop must land MID-stream, and a fast drain
+    // (1 chunk/trigger x 12) leaves ~10 epochs of headroom after the first
+    // committed version triggers the stop
+    val midCfg = cfg.copy(chunks = 12)
     val log = tmpDir("changelog")
-    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    ChangeStreamGen.writeChangelog(spark, midCfg, log)
     val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
     val ckpt = tmpDir("ckpt")
     val opts = PipelineOptions(maxFilesPerTrigger = 1, ledgerSource = true)
     val q1 = CdcPipeline.stream(spark, log, t, ckpt, opts)
     var waited = 0
-    while (t.currentVersion < 2 && waited < 600) { Thread.sleep(100); waited += 1 }
+    while (t.currentVersion < 1 && waited < 600) { Thread.sleep(100); waited += 1 }
     q1.stop(); q1.awaitTermination()
     val midVersion = t.currentVersion
-    assert(midVersion >= 1 && midVersion < cfg.chunks, s"mid-stream stop at $midVersion")
+    assert(midVersion >= 1 && midVersion < midCfg.chunks, s"mid-stream stop at $midVersion")
     val q2 = CdcPipeline.stream(spark, log, t, ckpt, opts)
     q2.awaitTermination()
-    assert(tableState(t) == oracleState(collectEvents()))
+    assert(tableState(t) == oracleState(collectEvents(midCfg)))
     val committed = CdcPipeline.readLineage(spark, t)
       .filter(_.result == "committed").map(_.epoch)
     assert(committed.distinct.size == committed.size, "no epoch applied twice")
@@ -134,21 +138,25 @@ class CdcEndToEndSpec extends SparkSpec {
   }
 
   test("crash-resume: restart from checkpoint completes with no double-apply") {
+    // many small files (12 chunks, 1 file/trigger): the stop must land
+    // MID-stream even when the drain is fast — ~10+ epochs of headroom
+    // after the first committed version triggers the stop
+    val midCfg = cfg.copy(chunks = 12)
     val log = tmpDir("changelog")
-    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    ChangeStreamGen.writeChangelog(spark, midCfg, log)
     val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 16)
     val ckpt = tmpDir("ckpt")
     // Run only the first few micro-batches, then "crash".
     val q1 = CdcPipeline.stream(spark, log, t, ckpt, PipelineOptions(maxFilesPerTrigger = 1))
     var waited = 0
-    while (t.currentVersion < 2 && waited < 600) { Thread.sleep(100); waited += 1 }
+    while (t.currentVersion < 1 && waited < 600) { Thread.sleep(100); waited += 1 }
     q1.stop(); q1.awaitTermination()
     val midVersion = t.currentVersion
-    assert(midVersion >= 1 && midVersion < cfg.chunks, s"mid-stream stop at $midVersion")
+    assert(midVersion >= 1 && midVersion < midCfg.chunks, s"mid-stream stop at $midVersion")
     // Restart from the same checkpoint: must finish and match the oracle.
     val q2 = CdcPipeline.stream(spark, log, t, ckpt, PipelineOptions(maxFilesPerTrigger = 1))
     q2.awaitTermination()
-    assert(tableState(t) == oracleState(collectEvents()))
+    assert(tableState(t) == oracleState(collectEvents(midCfg)))
     // No epoch applied twice.
     val lineage = CdcPipeline.readLineage(spark, t)
     val committed = lineage.filter(_.result == "committed").map(_.epoch)
