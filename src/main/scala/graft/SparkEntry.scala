@@ -550,6 +550,58 @@ object SparkEntry {
     // Derby serving table (LWW pre-reduce, delete+insert apply, in-DB
     // watermark), then read the SERVING DATABASE back — final serving
     // state must equal the window-rank LWW oracle
+    "q_seq_rc" -> ((s, dir) => {
+      // the two remaining hdfsreader formats end-to-end: the nation dim
+      // (25 rows — a bounded driver-side write) lands as a SequenceFile
+      // (Text lines) and an RCFile (columnar cells); readAuto must sniff
+      // BOTH from magic bytes and project them through the typed specs
+      import graft.sources.TypedFileSource
+      import graft.sources.TypedFileSource.{ColumnSpec, CsvConfig}
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val work = java.nio.file.Files.createTempDirectory("graft-seqrc").toString
+      val conf = s.sparkContext.hadoopConfiguration
+      locally { // SEQ: k|name lines
+        val w = org.apache.hadoop.io.SequenceFile.createWriter(conf,
+          org.apache.hadoop.io.SequenceFile.Writer.file(
+            new org.apache.hadoop.fs.Path(s"$work/seq/part-00000.seq")),
+          org.apache.hadoop.io.SequenceFile.Writer.keyClass(
+            classOf[org.apache.hadoop.io.LongWritable]),
+          org.apache.hadoop.io.SequenceFile.Writer.valueClass(
+            classOf[org.apache.hadoop.io.Text]))
+        rows.zipWithIndex.foreach { case ((k, n), i) =>
+          w.append(new org.apache.hadoop.io.LongWritable(i.toLong),
+            new org.apache.hadoop.io.Text(s"$k|$n"))
+        }
+        w.close()
+      }
+      locally { // RC: columnar cells
+        val rconf = new org.apache.hadoop.conf.Configuration(conf)
+        org.apache.hadoop.hive.ql.io.RCFileOutputFormat.setColumnNumber(rconf, 2)
+        val p = new org.apache.hadoop.fs.Path(s"$work/rc/part-00000.rc")
+        val w = new org.apache.hadoop.hive.ql.io.RCFile.Writer(p.getFileSystem(rconf), rconf, p)
+        rows.foreach { case (k, n) =>
+          val row = new org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable(2)
+          def cell(v: String) = {
+            val b = v.getBytes("UTF-8")
+            new org.apache.hadoop.hive.serde2.columnar.BytesRefWritable(b, 0, b.length)
+          }
+          row.set(0, cell(k.toString)); row.set(1, cell(n)); w.append(row)
+        }
+        w.close()
+      }
+      val cols = Seq(
+        ColumnSpec(index = Some(0), `type` = "long", name = Some("n_nationkey")),
+        ColumnSpec(index = Some(1), `type` = "string", name = Some("n_name")))
+      val seq = TypedFileSource.readAuto(s, Seq(s"$work/seq"), cols,
+          CsvConfig(fieldDelimiter = "|"))
+        .select(lit("seq").as("src"), col("n_nationkey"), col("n_name"))
+      val rc = TypedFileSource.readAuto(s, Seq(s"$work/rc"), cols)
+        .select(lit("rc").as("src"), col("n_nationkey"), col("n_name"))
+      seq.unionByName(rc).orderBy("src", "n_nationkey")
+    }),
+
     "q_mor_compact" -> ((s, dir) => {
       // explicit merge-on-read compaction: two delta epochs, then compact()
       // folds every delta into base files — state must be invariant and no
@@ -1000,6 +1052,13 @@ object SparkEntry {
         |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_seq_rc" ->
+      """SELECT * FROM (
+        |  SELECT 'seq' AS src, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'rc' AS src, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+        |) ORDER BY src, n_nationkey""".stripMargin,
 
     "q_mor_compact" ->
       """WITH chg AS (
