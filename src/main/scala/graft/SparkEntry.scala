@@ -550,6 +550,35 @@ object SparkEntry {
     // Derby serving table (LWW pre-reduce, delete+insert apply, in-DB
     // watermark), then read the SERVING DATABASE back — final serving
     // state must equal the window-rank LWW oracle
+    "q_dirty_replay" -> ((s, dir) => {
+      // the dirty-record REPLAY lane end-to-end: plant null conv_ids, let
+      // the pipeline quarantine deterministic per-reason samples (capped at
+      // dirtySampleN, ordered by lsn), then re-feed the quarantine through
+      // the real job layer (dirtyreader -> parquetwriter) and gate the
+      // replayed rows — reason column included — against SQL reproducing
+      // the rule, the cap and the ordering
+      val ev = eventsAsChangelog(t(s, dir, "events"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("conv_id",
+          when(col("lsn") % 97 === 0, lit(null)).otherwise(col("conv_id")))
+      val work = java.nio.file.Files.createTempDirectory("graft-dirtyq").toString
+      val table = SnapTable.create(s, s"$work/t", Schemas.payloadV2, numBuckets = 16)
+      CdcPipeline.applyBatch(table, ev, epoch = 0,
+        graft.cdc.PipelineOptions(
+          errorLimit = ErrorLimit(record = None, percentage = Some(0.5)),
+          dirtySampleN = 40))
+      val job = s"""{"job": {"content": [{
+        "reader": {"name": "dirtyreader",
+                   "parameter": {"path": "$work/t", "epoch": 0}},
+        "writer": {"name": "parquetwriter",
+                   "parameter": {"path": "$work/replay", "writeMode": "truncate"}}}]}}"""
+      val rep = graft.job.Job.run(s, job)
+      require(rep.error.isEmpty, s"dirty replay job failed: ${rep.error}")
+      s.read.parquet(s"$work/replay")
+        .select(col(Dirty.ReasonCol).as("reason"), col("lsn"))
+        .orderBy("reason", "lsn")
+    }),
+
     "q_seq_rc" -> ((s, dir) => {
       // the two remaining hdfsreader formats end-to-end: the nation dim
       // (25 rows — a bounded driver-side write) lands as a SequenceFile
@@ -1052,6 +1081,15 @@ object SparkEntry {
         |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_dirty_replay" ->
+      """WITH dirty AS (
+        |  SELECT 'conv_id_null' AS reason, event_id AS lsn
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT reason, lsn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY reason ORDER BY lsn) AS rn
+        |  FROM dirty)
+        |WHERE rn <= 40 ORDER BY reason, lsn""".stripMargin,
 
     "q_seq_rc" ->
       """SELECT * FROM (
