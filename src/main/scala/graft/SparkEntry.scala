@@ -550,6 +550,36 @@ object SparkEntry {
     // Derby serving table (LWW pre-reduce, delete+insert apply, in-DB
     // watermark), then read the SERVING DATABASE back — final serving
     // state must equal the window-rank LWW oracle
+    "q_kv_modes" -> ((s, dir) => {
+      // KV writer mode semantics end-to-end against the wire-free store
+      // (unique keys per pass keep every mode order-independent, so the
+      // final store is deterministic): seed even keys, Add lands only the
+      // absent odd keys, Append suffixes every third key, ReplaceExisting
+      // then overwrites every fifth — the reference's ocs/mongo/hbase
+      // write-mode ladder as one checkable state
+      import graft.sources.KvSink
+      val name = "q_kv_modes-" + java.util.UUID.randomUUID.toString
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+      cust.filter(col("c_custkey") % 2 === 0).collect()
+        .foreach(r => KvSink.InMemoryKvStore.store(name)
+          .put(r.getLong(0).toString, "seeded"))
+      def client() = KvSink.InMemoryKvStore.client(name)
+      KvSink.write(cust, Seq("c_custkey"), Seq("c_name"), KvSink.Add, () => client())
+      KvSink.write(cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), lit("+A").as("sfx")),
+        Seq("c_custkey"), Seq("sfx"), KvSink.Append, () => client())
+      KvSink.write(cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("R").as("v")),
+        Seq("c_custkey"), Seq("v"), KvSink.ReplaceExisting, () => client())
+      import scala.jdk.CollectionConverters._
+      val entries = KvSink.InMemoryKvStore.store(name).entrySet().asScala
+        .map(e => (e.getKey.toLong, e.getValue)).toSeq
+      KvSink.InMemoryKvStore.clear(name)
+      import s.implicits._
+      entries.toDF("k", "v").orderBy("k")
+    }),
+
     "q_dirty_replay" -> ((s, dir) => {
       // the dirty-record REPLAY lane end-to-end: plant null conv_ids, let
       // the pipeline quarantine deterministic per-reason samples (capped at
@@ -1081,6 +1111,14 @@ object SparkEntry {
         |        ORDER BY ts DESC, lsn DESC) AS rn FROM chg)
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_kv_modes" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'R'
+        |       ELSE (CASE WHEN c_custkey % 2 = 0 THEN 'seeded' ELSE c_name END)
+        |            || (CASE WHEN c_custkey % 3 = 0 THEN '+A' ELSE '' END)
+        |  END AS v
+        |FROM customer ORDER BY k""".stripMargin,
 
     "q_dirty_replay" ->
       """WITH dirty AS (

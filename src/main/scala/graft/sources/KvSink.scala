@@ -62,6 +62,25 @@ object KvSink {
       case Prepend => c.put(k, v + c.get(k).getOrElse("")); true
     }
 
+  /** Wire-free in-memory KV store (named, JVM-wide) — the sandbox stand-in
+    * for memcached/OTS/HBase endpoints, used by the oracle-gated mode query
+    * and the specs. Local-mode executors are threads of this JVM, so a
+    * `client(name)` closure works from `write`'s partitions. */
+  object InMemoryKvStore {
+    private val stores = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+    def store(name: String): java.util.concurrent.ConcurrentHashMap[String, String] =
+      stores.computeIfAbsent(name,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    def client(name: String): KvClient = new KvClient {
+      private val m = store(name)
+      override def get(key: String): Option[String] = Option(m.get(key))
+      override def put(key: String, value: String): Unit = m.put(key, value): Unit
+      override def close(): Unit = ()
+    }
+    def clear(name: String): Unit = stores.remove(name): Unit
+  }
+
   /**
    * Distributed KV write: key = `keySep`-joined key columns, value =
    * `valueSep`-joined remaining (or given) columns — exactly the reference's
