@@ -48,6 +48,24 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("batch replay matches oracle across seeds and stream shapes") {
+    // conformance breadth: heavy duplication, delete-heavy, wide
+    // out-of-order, and extreme hot-key mass must all reduce to the oracle
+    val shapes = Seq(
+      cfg.copy(seed = 7L, pDup = 0.30, oooWindow = 5000),
+      cfg.copy(seed = 123L, pDelete = 0.15, hotFrac = 0.001, hotMass = 0.6),
+      cfg.copy(seed = 999L, turnsPerConv = 5, pDup = 0.0, oooWindow = 1))
+    for (c <- shapes) {
+      val t = SnapTable.create(spark, tmpDir(s"shape-${c.seed}"),
+        Schemas.payloadV2, numBuckets = 8)
+      CdcPipeline.replayBatch(spark, {
+        val log = tmpDir(s"shapelog-${c.seed}")
+        ChangeStreamGen.writeChangelog(spark, c, log); log
+      }, t)
+      assert(tableState(t) == oracleState(collectEvents(c)), s"shape $c diverged")
+    }
+  }
+
   test("streaming replay in chunked epochs matches oracle; lineage emitted") {
     val log = tmpDir("changelog")
     ChangeStreamGen.writeChangelog(spark, cfg, log)
