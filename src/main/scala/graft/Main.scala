@@ -271,8 +271,18 @@ object Main {
     if (SnapTable.exists(spark, path)) SnapTable.load(spark, path).read(spark)
     else spark.read.parquet(path)
 
-  private def vecDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Dimension of the embedding column, read from the first non-null vector.
+    * An empty input or an all-null column fails HERE with the real cause —
+    * probing with a bare head() would surface as an opaque
+    * NoSuchElementException (or a nonsense -1 dim) deep inside the
+    * dedup/ann plan instead. */
+  private def vecDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int = {
+    val first = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    require(first.nonEmpty,
+      s"input has no rows with a non-null '$vecCol' vector — cannot infer dimension")
+    first.head.getInt(0)
+  }
 
   /** `--out DIR` writes parquet and prints the row count; otherwise shows
     * the first `--limit` rows (one bounded action either way). */

@@ -561,10 +561,13 @@ object SparkEntry {
       val name = "q_kv_modes-" + java.util.UUID.randomUUID.toString
       val cust = t(s, dir, "customer").select(
         col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
-      cust.filter(col("c_custkey") % 2 === 0).collect()
-        .foreach(r => KvSink.InMemoryKvStore.store(name)
-          .put(r.getLong(0).toString, "seeded"))
       def client() = KvSink.InMemoryKvStore.client(name)
+      // seed through the distributed writer itself (Set mode, executor-side
+      // foreachPartition) — the query stays scale-shaped like the operator
+      // it gates; a driver collect() here would cap the seed at driver heap
+      KvSink.write(cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), lit("seeded").as("v")),
+        Seq("c_custkey"), Seq("v"), KvSink.Set, () => client())
       KvSink.write(cust, Seq("c_custkey"), Seq("c_name"), KvSink.Add, () => client())
       KvSink.write(cust.filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey"), lit("+A").as("sfx")),

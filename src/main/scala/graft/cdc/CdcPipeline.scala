@@ -202,7 +202,16 @@ object CdcPipeline {
         case other => throw new IllegalArgumentException(s"mergeMode '$other'")
       }
       val (applied, buckets, result) = mergeResult match {
-        case MergeResult.Committed(_, rows, b, _) => (rows, b, "committed")
+        // an ORPHANED commit (writer stalled past the torn-claim grace
+        // window; its version got skipped and its manifest hangs off a dead
+        // branch) must never be recorded as a silent success — the epoch's
+        // rows are unreachable from the current snapshot and need replay
+        case MergeResult.Committed(v, rows, b, _, true) =>
+          System.err.println(s"[pipeline] WARNING epoch $epoch commit v$v is " +
+            "ORPHANED (off the current snapshot chain — writer paused past " +
+            "the torn-claim grace window); its rows were NOT applied")
+          (rows, b, "orphaned")
+        case MergeResult.Committed(_, rows, b, _, _) => (rows, b, "committed")
         case MergeResult.SkippedEpoch => (0L, 0, "skipped_epoch")
       }
       val rec = LineageRecord(epoch, parts, stats.clean + stats.dirty, stats.dirty,
@@ -244,10 +253,17 @@ object CdcPipeline {
       val fs = dir.getFileSystem(conf)
       if (fs.exists(dir)) {
         fs.listStatus(dir).foreach { st =>
-          // epoch-XXXXXXXX[.json | .skip-<nanos>.json] (dirs or files):
-          // parse the leading digit run so skip-suffixed records GC too
+          // epoch-XXXXXXXX[.json | .skip-<nanos>.json] (dirs or files), plus
+          // .tmp-epoch-XXXXXXXX-<nanos> aside dirs orphaned by a writer that
+          // crashed between the quarantine parquet write and its claiming
+          // rename (writeDirtySamples) — without collecting those, a
+          // long-running stream accumulates one dead dir per crash forever.
+          // Parse the leading digit run so every suffix variant GCs.
           val name = st.getPath.getName
-          val ep = name.stripPrefix("epoch-").takeWhile(_.isDigit)
+          val core =
+            if (name.startsWith(".tmp-epoch-")) name.stripPrefix(".tmp-epoch-")
+            else name.stripPrefix("epoch-")
+          val ep = core.takeWhile(_.isDigit)
           if (ep.nonEmpty && ep.toLong < beforeEpoch)
             fs.delete(st.getPath, true): Unit
         }

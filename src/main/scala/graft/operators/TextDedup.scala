@@ -118,13 +118,22 @@ object TextDedup {
     // per-doc canonical gram array, rarest-first (ties by shingle: a total
     // order, deterministic across runs); reused by the prefix explode AND
     // both verify sides, so it is computed exactly once
+    // eager localCheckpoint, NOT cache(): it materializes the gram arrays
+    // once for the three consumers below exactly like a cache, but its
+    // executor storage is released by the ContextCleaner as soon as the
+    // caller drops the returned frame — an explicit cache() would pin the
+    // arrays in the session's CacheManager for the session's lifetime, and
+    // this operator cannot unpersist without forcing its (lazy) result.
+    // Trade-off (documented): the truncated lineage means a lost executor
+    // fails the query instead of recomputing — acceptable for a bounded
+    // dedup job, and storage is MEMORY_AND_DISK so large corpora spill.
     val docGrams = sh.join(docFreq, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__df"), col("shingle")))).as("__toks"))
       .select(col(idCol), expr("transform(__toks, x -> x.shingle)").as("grams"),
         size(col("__toks")).as("sz"))
-      .cache()
-    val nDocs = docGrams.count() // materializes the cache; drives the verify-join choice
+      .localCheckpoint(true)
+    val nDocs = docGrams.count() // cheap post-checkpoint; drives the verify-join choice
     // prefix tokens with their rank (1-based) for the positional filter
     val prefixes = docGrams.select(col(idCol), col("sz"),
       posexplode(expr(s"slice(grams, 1, greatest(1, " +

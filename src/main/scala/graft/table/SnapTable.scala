@@ -64,8 +64,15 @@ sealed trait MergeResult
 object MergeResult {
   /** epoch already committed — replay skipped (exactly-once). */
   case object SkippedEpoch extends MergeResult
+  /** `orphaned`: the claim succeeded but the version is NOT on the current
+    * snapshot chain — a writer stalled past the torn-manifest grace window
+    * had its version number skipped by a concurrent writer, and its
+    * eventually-closed manifest hangs off a dead branch. The epoch's data is
+    * unreachable from the current snapshot; lineage records it as
+    * `orphaned` (never a silent `committed`) so operators can detect the
+    * pause-induced loss and replay. */
   final case class Committed(version: Long, rowsWritten: Long, bucketsRewritten: Int,
-      schemaEvolved: Boolean) extends MergeResult
+      schemaEvolved: Boolean, orphaned: Boolean = false) extends MergeResult
 }
 
 /**
@@ -246,6 +253,21 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     var v = cur + 1
     while (fs.exists(snapPath(v)) && tornPastGrace(snapPath(v))) v += 1
     v
+  }
+
+  /** True when `version` is the current version or one of its ancestors
+    * (parent-pointer walk from [[currentVersion]] down). A freshly
+    * tryCommit-ed version that is NOT on the chain was ORPHANED: this
+    * writer stalled past [[SnapTable.tornManifestGraceMs]] between claim
+    * and manifest close, a concurrent writer's [[nextVersion]] skipped the
+    * (then-torn) slot and committed ahead with a different parent, and this
+    * writer's late close now hangs off a dead branch. Cost: zero extra
+    * reads in the normal case (current == version after our own pointer
+    * swap); the walk only runs when someone committed past us. */
+  private[table] def onCurrentChain(version: Long): Boolean = {
+    var v = currentVersion
+    while (v > version) v = snapshot(v).parent
+    v == version
   }
 
   /** Atomic create-if-absent of `p`; None when the version is already
@@ -606,7 +628,8 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       fs.delete(new Path(root, commitRel), true)
       return None
     }
-    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, touched.size, evolved))
+    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, touched.size, evolved,
+      orphaned = !onCurrentChain(newVersion)))
   }
 
   /** Above this many files per commit, footer row-counts are read on the
@@ -809,7 +832,8 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       rows = snap.rows + written.map(_.rows).sum))
     if (!committed) { fs.delete(new Path(root, commitRel), true); return None }
     Some(MergeResult.Committed(newVersion, written.map(_.rows).sum,
-      written.map(_.bucket).distinct.size, evolved))
+      written.map(_.bucket).distinct.size, evolved,
+      orphaned = !onCurrentChain(newVersion)))
   }
 
   /** Number of delta files currently outstanding (compaction-policy input). */
@@ -824,7 +848,7 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    */
   def compact(spark: SparkSession): Long = {
     retryingCommit(compactAttempt(spark)) match {
-      case MergeResult.Committed(_, _, buckets, _) => buckets.toLong
+      case MergeResult.Committed(_, _, buckets, _, _) => buckets.toLong
       case MergeResult.SkippedEpoch => 0L
     }
   }

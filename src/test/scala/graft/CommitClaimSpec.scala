@@ -126,6 +126,36 @@ class CommitClaimSpec extends SparkSpec {
     assert(t.read(spark).count() == 5)
   }
 
+  test("a commit landing off the current chain is reported ORPHANED, not committed") {
+    val root = tmpDir("orphan")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
+    CdcPipeline.applyBatch(t, (1 to 10).map(i => ev(i, 100 + i)).toDF(), 0)
+    assert(t.currentVersion == 1L)
+    // Scenario (the documented stalled-past-grace boundary): writer A is
+    // about to commit version 2, but it stalled so long that a concurrent
+    // writer B, seeing A's claim torn past the grace window, SKIPPED v2 and
+    // committed v3 with parent 1. A's late close then swaps the pointer to
+    // a version no longer on the chain. The beforeCommitHook seam plays B:
+    // it lands v3 (parent 1) right before A's tryCommit(2).
+    val prevHook = t.beforeCommitHook
+    t.beforeCommitHook = () =>
+      t.commit(t.snapshot(1L).copy(version = 3L, parent = 1L,
+        props = t.snapshot(1L).props + ("writer" -> "B")))
+    val r =
+      try CdcPipeline.applyBatch(t, Seq(ev(11, 201)).toDF(), epoch = 1)
+      finally t.beforeCommitHook = prevHook
+    // the lineage record says ORPHANED — a silent "committed" here would
+    // hide that the epoch's rows are unreachable from the current snapshot
+    assert(r.result == "orphaned", s"lineage result: ${r.result}")
+    assert(t.currentVersion == 3L)
+    assert(!t.onCurrentChain(2L) && t.onCurrentChain(3L) && t.onCurrentChain(1L))
+    // readers see B's chain: A's epoch-1 row never became visible
+    assert(t.read(spark).count() == 10)
+    // and the persisted lineage carries the orphan marker for operators
+    val lin = CdcPipeline.readLineage(spark, t).filter(_.epoch == 1L)
+    assert(lin.exists(_.result == "orphaned"))
+  }
+
   test("pre-stamp tables re-stamp without a rewrite (stampBucketFn)") {
     val root = tmpDir("prestamp")
     val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)

@@ -70,4 +70,33 @@ class RetentionSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("lsn") < maxLsn - 4000L)
     assert(oldTombstones.count() == 0, "expired tombstones still present")
   }
+
+  test("orphaned .tmp-epoch aside dirs are GC'd past the meta horizon") {
+    import org.apache.hadoop.fs.Path
+    val log = tmpDir("tmplog")
+    val root = s"${tmpDir("tmptbl")}/t"
+    val cfg = GenConfig(numEvents = 2000, numConvs = 60, chunks = 10)
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val table = SnapTable.create(spark, root, Schemas.payloadV1, numBuckets = 8)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    // corpses a writer killed between the quarantine parquet write and its
+    // claiming rename would leave: one far below the horizon, one fresh
+    val dirtyDir = new Path(root, "meta/dirty")
+    val oldTmp = new Path(dirtyDir, ".tmp-epoch-00000000-111")
+    val freshTmp = new Path(dirtyDir, ".tmp-epoch-00000009-222")
+    fs.mkdirs(oldTmp); fs.mkdirs(freshTmp)
+    val opts = PipelineOptions(retention = Some(RetentionPolicy(
+      retainSnapshots = 3, retainMetaEpochs = 3, everyEpochs = 1)))
+    val chunks = fs.listStatus(new Path(log))
+      .filter(_.isDirectory).map(_.getPath.toString).sorted
+    chunks.zipWithIndex.foreach { case (dir, i) =>
+      CdcPipeline.replayBatch(spark, dir, table, opts, epoch = i.toLong)
+    }
+    // after epoch 9 the horizon is 9 - 3 = 6: the epoch-0 corpse must be
+    // collected (it would otherwise accumulate forever on a long stream)...
+    assert(!fs.exists(oldTmp), "orphaned old .tmp-epoch dir not GC'd")
+    // ...while the fresh one (>= horizon — possibly a LIVE writer mid-
+    // rename) is untouched
+    assert(fs.exists(freshTmp), "in-horizon .tmp-epoch dir wrongly deleted")
+  }
 }
