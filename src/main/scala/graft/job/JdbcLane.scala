@@ -210,9 +210,24 @@ object JdbcLane {
             if (pts.isEmpty) Seq("1=1")
             else JdbcSplit.sampledSlices(pk, pts, quoted = false).map(_.toSql)
           } else {
-            System.err.println(s"[jdbc-lane] sampled split of non-numeric pk '$pk' " +
-              s"needs a dialect sampling SQL — falling back to MIN/MAX range slicing")
-            rangeSlices(url, user, pass, dialect, pk, table, where, slices, sessionSqls)
+            // non-numeric pk: approxQuantile is numeric-only, so sort-sample
+            // instead — range-sort the single probe column (distributed:
+            // Spark's range partitioner samples the key space) and collect
+            // only the slice-boundary rows by global rank. The boundary
+            // values themselves are exact quantiles, so a skewed string pk
+            // still yields balanced slices.
+            val nonNull = probe.na.drop(Seq(gpk.name))
+            val n = nonNull.count()
+            if (n == 0) Seq("1=1")
+            else {
+              val ranks = (1 until slices).map(i => i * n / slices)
+                .filter(r => r > 0 && r < n).toSet
+              val pts = nonNull.sort(gpk.name).rdd.zipWithIndex()
+                .filter { case (_, idx) => ranks.contains(idx) }
+                .map(_._1.get(0).toString).collect().toSeq.distinct
+              if (pts.isEmpty) Seq("1=1")
+              else JdbcSplit.sampledSlices(pk, pts, quoted = true).map(_.toSql)
+            }
           }
       }
     } else rangeSlices(url, user, pass, dialect, pk, table, where, slices, sessionSqls)

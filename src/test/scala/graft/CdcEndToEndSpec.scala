@@ -117,6 +117,24 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(committed.distinct.size == committed.size, "no epoch applied twice")
   }
 
+  test("chunk-ledger source: mid-stream schema evolution aligns pre-evolution chunks") {
+    // the generator physically writes chunks that end before the evolution
+    // point WITHOUT the `tool` column; the ledger path's batch body reads
+    // the manifest-listed files itself, so it must align those files to the
+    // envelope (tool = null) exactly like the built-in file source — and
+    // the table, started on the PRE-evolution schema, must widen mid-stream
+    val log = tmpDir("changelog")
+    ChangeStreamGen.writeChangelog(spark, cfg, log)
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV1, numBuckets = 16)
+    val q = CdcPipeline.stream(spark, log, t, tmpDir("ckpt"),
+      PipelineOptions(maxFilesPerTrigger = 2, ledgerSource = true))
+    q.awaitTermination()
+    val sch = t.read(spark).schema
+    assert(sch.fieldNames.contains("tool"))
+    assert(t.read(spark).filter(col("tool").isNotNull).count() > 0)
+    assert(tableState(t) == oracleState(collectEvents()))
+  }
+
   test("chunk-ledger source: a tail appended AFTER the first drain is picked up") {
     val log = tmpDir("changelog")
     ChangeStreamGen.writeChangelog(spark, cfg, log)

@@ -315,6 +315,34 @@ class JdbcSpec extends SparkSpec {
     assert(rCounts.max >= 85, s"range slicing should collapse under skew: ${rCounts.toSeq}")
   }
 
+  test("reader lane: sampled split balances a skewed STRING pk (sort-sample fallback)") {
+    import org.json4s.jackson.JsonMethods.parse
+    val conn = derby("skewstrdb")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE skewedstr (pk VARCHAR(24), v VARCHAR(16))")
+    val ins = conn.prepareStatement("INSERT INTO skewedstr VALUES (?, ?)")
+    // 90 keys clustered under one prefix + 10 far outliers: radix-128
+    // MIN/MAX slicing of the string range puts ~90% of rows in one slice;
+    // the sort-sample quantile fallback balances them
+    val pks = (1 to 90).map(i => f"aaa$i%03d") ++ (1 to 10).map(i => f"zzz$i%03d")
+    pks.foreach { k => ins.setString(1, k); ins.setString(2, s"v$k"); ins.executeUpdate() }
+    conn.close()
+    def param(mode: String) = parse(s"""{
+      "username": "app", "password": "app",
+      "connection": [{"jdbcUrl": "jdbc:derby:memory:skewstrdb",
+                      "table": ["skewedstr"]}],
+      "splitPk": "pk", "splitMode": "$mode"}""")
+    val sampled = graft.job.JdbcLane.read(spark, param("sampled"), channels = 4)
+    assert(sampled.count() == 100)
+    val sCounts = sampled.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sCounts.filter(_ > 0).forall(c => c >= 20 && c <= 30),
+      s"sampled slices should be ~25 rows each: ${sCounts.toSeq}")
+    val ranged = graft.job.JdbcLane.read(spark, param("range"), channels = 4)
+    assert(ranged.count() == 100)
+    val rCounts = ranged.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(rCounts.max >= 85, s"range slicing should collapse under skew: ${rCounts.toSeq}")
+  }
+
   test("DRDS dialect: mandatory session SQL reaches the reader properties") {
     import JdbcDialect._
     assert(of("drds") == Drds)
