@@ -140,8 +140,51 @@ object Bench {
    * The child is hard-limited to `timeoutMs` (None on kill/garbage) so one
    * contended rep can never eat the whole artifact's budget.
    */
+  /** What the host looked like WHILE a rep ran. Round-4's probe read the
+    * instantaneous runnable count only BEFORE and AFTER each rep, and one
+    * official run recorded `neighbors 0.0` on every rep of a window where
+    * local[32] ran 12x slower than the round-4 judge measurement — the
+    * contention was (a) hypervisor CPU steal, which same-guest runnable
+    * counts can never see, and (b) bursts that arrived and left mid-rep.
+    * `stealPct` is the /proc/stat steal share over exactly the rep's wall
+    * window; `midBusy` is the MEDIAN neighbor-runnable estimate sampled every
+    * 5 s during the rep (runnable minus the child's own expected
+    * parallelism). */
+  private final case class RepEnv(midBusy: Double, stealPct: Double,
+      spinMedMs: Double)
+
+  /** (stealJiffies, totalJiffies) from the aggregate cpu line; (-1,-1) if
+    * unreadable (never flags). */
+  private def readCpuStat(): (Long, Long) =
+    try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (cols.length > 7) cols(7) else 0L, cols.sum)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+
+  /** Fixed single-thread workload (~50 ms quiet): timing it measures the
+    * EFFECTIVE speed of one core directly, whatever the cause of a
+    * slowdown — hypervisor steal, cgroup throttling, thermal caps — none
+    * of which same-guest runnable counts can see. Sampled every 5 s during
+    * each rep; a rep's max sample over the session-wide minimum is the
+    * rep's cpu_slowdown. */
+  private def spinOnce(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 20000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 42L) System.err.print("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e6
+  }
+  @volatile private var minSpinMs = Double.MaxValue
+  private def spinProbe(): Double = {
+    val t = spinOnce()
+    if (t < minSpinMs) minSpinMs = t
+    t
+  }
+
   private def cdcRun(cores: Int, logDir: String, mode: String,
-      timeoutMs: Long): Option[(Long, Double)] = {
+      timeoutMs: Long): Option[(Long, Double, RepEnv)] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -162,7 +205,41 @@ object Bench {
       catch { case _: java.io.IOException => () })
     reader.setDaemon(true)
     reader.start()
+    // mid-rep environment sampler: the parent is otherwise idle while the
+    // child runs, so sample the runnable count every 5 s and keep the max
+    // estimate of NEIGHBOR runnables (total runnable minus the child's own
+    // expected parallelism — `cores` task threads plus one driver/GC
+    // thread). A same-guest burst that arrives and leaves mid-rep is
+    // invisible to pre/post probes but not to this.
+    val stat0 = readCpuStat()
+    // per-rep aggregation is the MEDIAN of the 5 s samples, not the max: a
+    // single sample landing on a GC pause of our own child (all parallel GC
+    // workers momentarily R; the spin probe starved for one beat) must not
+    // flag an otherwise-clean multi-minute rep, while a co-tenant busy for
+    // most of the rep's window still dominates the median
+    val midSamples = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val spinSamples = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val sampler = new Thread(() =>
+      try while (proc.isAlive) {
+        Thread.sleep(5000)
+        midSamples.add(math.max(0.0, runnableNow() - cores))
+        spinSamples.add(spinProbe())
+      } catch { case _: InterruptedException => () })
+    sampler.setDaemon(true)
+    sampler.start()
     val finished = proc.waitFor(math.max(1000L, timeoutMs), TimeUnit.MILLISECONDS)
+    sampler.interrupt()
+    val stat1 = readCpuStat()
+    val stealPct =
+      if (stat0._2 >= 0 && stat1._2 > stat0._2)
+        (stat1._1 - stat0._1).toDouble / (stat1._2 - stat0._2)
+      else 0.0
+    def median(q: java.util.concurrent.ConcurrentLinkedQueue[Double]): Double = {
+      import scala.jdk.CollectionConverters._
+      val xs = q.asScala.toIndexedSeq.sorted
+      if (xs.isEmpty) 0.0 else xs(xs.size / 2)
+    }
+    val env = RepEnv(median(midSamples), stealPct, median(spinSamples))
     if (!finished) {
       proc.destroyForcibly()
       proc.waitFor()
@@ -175,7 +252,7 @@ object Bench {
     lines.asScala.find(_.startsWith("CDCRESULT")) match {
       case Some(line) =>
         val parts = line.split(" ")
-        Some((parts(1).toLong, parts(2).toDouble))
+        Some((parts(1).toLong, parts(2).toDouble, env))
       case None =>
         System.err.println("[bench] child produced no CDCRESULT:\n" +
           lines.asScala.toList.takeRight(20).mkString("\n"))
@@ -186,28 +263,73 @@ object Bench {
   // ---- incrementally-built result state (readable from a shutdown hook) ---
 
   private final case class Level(events: Long, repSecs: Seq[Double],
-      repLoads: Seq[Double] = Nil) {
+      repLoads: Seq[Double] = Nil, repSteal: Seq[Double] = Nil,
+      repSpin: Seq[Double] = Nil) {
     def bestSec: Double = repSecs.min
-    /** Reps disagreeing >3x catch intermittent noise; a pre/post-rep
-      * NEIGHBOR-runnable probe above 2 catches the worse case — a UNIFORMLY
-      * busy window, where every rep is slow by the same factor and the
-      * spread test passes garbage as clean. The probe is the instantaneous
-      * runnable-thread count (not the 1-minute loadavg, whose decay tail
-      * from the bench's OWN just-exited children flagged clean levels as
-      * contended in earlier rounds). */
+    /** Reps disagreeing >3x catch intermittent noise; a neighbor-runnable
+      * reading above 2 (max of pre-rep, post-rep and the MID-REP sampler)
+      * catches a uniformly busy same-guest window, where every rep is slow
+      * by the same factor and the spread test passes garbage as clean.
+      * Both are blind to a noisy co-tenant GUEST — round 5 observed a
+      * window where local[32] ran 12x slower with zero same-guest
+      * runnables — so two hypervisor-visible signals flag that case: the
+      * steal share of total jiffies over the best rep's window above 25%
+      * (this box's calibrated full-load baseline is ~12%, so 25% means a
+      * co-tenant is eating real cycles), and the mid-rep spin probe timing
+      * a fixed single-thread workload at >2x the session-wide quiet
+      * minimum (catches throttling/steal regardless of accounting; a
+      * local[32] rep fair-shares the probe to ~33/32, far below 2x).
+      * (Probes are instantaneous runnable counts, not the 1-minute loadavg,
+      * whose decay tail from the bench's OWN just-exited children flagged
+      * clean levels as contended in earlier rounds.) */
     def contended: Boolean = repSecs.max / repSecs.min > 3.0 ||
-      repLoads.exists(_ > 2.0)
+      repLoads.exists(_ > 2.0) ||
+      bestRepSteal > 0.25 ||
+      bestRepSlowdown > 2.0
+    /** Environment during the BEST rep (the one reported): a slow rep under
+      * steal that a later quiet rep beat does not poison the level. */
+    def bestRepSteal: Double = bestRepOf(repSteal)
+    def bestRepSlowdown: Double =
+      if (minSpinMs == Double.MaxValue) 0.0 else bestRepOf(repSpin) / minSpinMs
+    private def bestRepOf(xs: Seq[Double]): Double =
+      repSecs.zipAll(xs, 0.0, 0.0).minByOption(_._1).map(_._2).getOrElse(0.0)
   }
 
-  /** Instantaneous runnable-thread count minus self (the reading thread).
-    * Unlike the 1-minute loadavg this carries NO decay tail from processes
-    * that already exited — right after one of this bench's own 32-core
-    * children finishes, an idle host probes ~0 while load1 still reads
-    * 10-30 for minutes. -1 if unreadable (never flags). */
+  /** Instantaneous count of USERSPACE runnable threads minus self (the
+    * reading thread). Unlike the 1-minute loadavg this carries NO decay
+    * tail from processes that already exited — right after one of this
+    * bench's own 32-core children finishes, an idle host probes ~0 while
+    * load1 still reads 10-30 for minutes. Kernel threads are excluded
+    * (empty /proc/pid/cmdline): the kworker writeback storm flushing OUR
+    * child's just-written parquet pages read as "neighbors 3-7" on a quiet
+    * host through the loadavg running-count. -1 if unreadable (never
+    * flags). */
   private def runnableNow(): Double =
     try {
-      val f = scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(3)
-      math.max(0.0, f.split("/")(0).toDouble - 1.0)
+      var running = 0
+      val procDir = new java.io.File("/proc")
+      val pids = procDir.listFiles((_, n) => n.forall(_.isDigit))
+      if (pids == null) return -1.0
+      for (p <- pids) {
+        val isUser =
+          try {
+            val in = new java.io.FileInputStream(new java.io.File(p, "cmdline"))
+            try in.read() != -1 finally in.close()
+          } catch { case _: Exception => false }
+        if (isUser) {
+          val tasks = new java.io.File(p, "task").listFiles()
+          if (tasks != null) for (t <- tasks) {
+            try {
+              val stat = scala.io.Source.fromFile(
+                new java.io.File(t, "stat").getPath).mkString
+              // state is the field after the ')' closing comm (comm itself
+              // may contain spaces/parens — use the LAST ')')
+              if (stat.charAt(stat.lastIndexOf(')') + 2) == 'R') running += 1
+            } catch { case _: Exception => () } // task exited mid-walk
+          }
+        }
+      }
+      math.max(0.0, running - 1.0) // minus self: this thread is R while reading
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
   /** Median of a few spaced runnable samples — robust to a single probe
@@ -247,8 +369,15 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (c, l) =>
         val reps = l.repSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
         val loads = l.repLoads.map(s => f"$s%.1f").mkString("[", ",", "]")
+        val steal = l.repSteal.map(s => f"$s%.3f").mkString("[", ",", "]")
+        val spins = l.repSpin.map { s =>
+          if (minSpinMs == Double.MaxValue || s == 0.0) "null"
+          else f"${s / minSpinMs}%.2f"
+        }.mkString("[", ",", "]")
         f""""local$c":{"sec":${l.bestSec}%.2f,"events_per_sec":${thr(l)}%.0f,""" +
-          s""""rep_secs":$reps,"rep_neighbor_busy":$loads,"contended":${l.contended}}"""
+          s""""rep_secs":$reps,"rep_neighbor_busy":$loads,""" +
+          s""""rep_steal_pct":$steal,"rep_cpu_slowdown":$spins,""" +
+          s""""contended":${l.contended}}"""
       }.mkString("{", ",", "}")
     def eff(a: Int, b: Int): String =
       effNum(a, b).map(e => f"$e%.3f").getOrElse("null")
@@ -349,6 +478,11 @@ object Bench {
     sfDirUsed = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2100").toLong
+    // JIT-warm the spin probe and seed the session-quiet baseline before
+    // any child runs (the running min keeps improving if a quieter moment
+    // comes later; a contended start therefore can't inflate the baseline
+    // permanently, only delay flags until a quiet sample lands)
+    (1 to 8).foreach(_ => spinProbe())
     val deadline = System.nanoTime() + budgetS * 1_000_000_000L
     def remainingS: Double = (deadline - System.nanoTime()) / 1e9
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
@@ -403,6 +537,8 @@ object Bench {
         into: TrieMap[Int, Level]): Unit = {
       var reps = Vector.empty[Double]
       var loads = Vector.empty[Double]
+      var steals = Vector.empty[Double]
+      var spins = Vector.empty[Double]
       var events = 0L
       var rep = 1
       var stop = false
@@ -433,17 +569,22 @@ object Bench {
               f"[bench] waited $waitedS%.0fs for neighbors (busy $preBusy%.1f)")
           }
           cdcRun(c, logDir, mode, (remainingS * 1000).toLong) match {
-            case Some((ev, sec)) =>
+            case Some((ev, sec, env)) =>
               events = ev
               reps :+= sec
               // post-rep probe (child already exited — nothing of ours
-              // runs) catches a neighbor burst that ARRIVED mid-rep,
-              // which the pre-rep probe misses
-              val load = math.max(preBusy, probeNeighbors())
+              // runs) plus the MID-REP sampler's max catch a neighbor
+              // burst that arrived (and possibly left) mid-rep, which the
+              // pre-rep probe misses
+              val load = Seq(preBusy, probeNeighbors(), env.midBusy).max
               loads :+= load
+              steals :+= env.stealPct
+              spins :+= env.spinMedMs
               System.err.println(f"[bench] local[$c] $mode rep$rep: $sec%.2fs " +
-                f"(${ev / sec}%.0f ev/s, neighbors $load%.1f)")
-              into.put(c, Level(events, reps, loads))
+                f"(${ev / sec}%.0f ev/s, neighbors $load%.1f, " +
+                f"steal ${env.stealPct * 100}%.1f%%, " +
+                f"spin ${env.spinMedMs}%.0fms vs quiet $minSpinMs%.0fms)")
+              into.put(c, Level(events, reps, loads, steals, spins))
               persistSnapshot()
             case None =>
               skipped.add(s"$mode-local$c-rep$rep-killed")
@@ -455,8 +596,10 @@ object Bench {
       into.get(c).filter(_.contended).foreach { lv =>
         System.err.println(
           f"[bench] WARNING local[$c] rep spread ${lv.repSecs.max / lv.repSecs.min}%.1fx" +
-            f" / max neighbors ${(lv.repLoads :+ 0.0).max}%.1f — host contention, " +
-            "treat this level's numbers as unreliable")
+            f" / max neighbors ${(lv.repLoads :+ 0.0).max}%.1f" +
+            f" / best-rep steal ${lv.bestRepSteal * 100}%.1f%%" +
+            f" / best-rep cpu slowdown ${lv.bestRepSlowdown}%.2fx — host " +
+            "contention, treat this level's numbers as unreliable")
       }
     }
 
@@ -542,12 +685,15 @@ object Bench {
       def oneMoreRep(c: Int): Unit = {
         val preBusy = probeNeighbors()
         cdcRun(c, logDir, "enriched", (remainingS * 1000).toLong.max(1000)).foreach {
-          case (ev, sec) =>
-            val prev = enriched.getOrElse(c, Level(ev, Vector.empty, Vector.empty))
+          case (ev, sec, env) =>
+            val prev = enriched.getOrElse(c, Level(ev, Vector.empty))
             enriched.put(c, Level(ev, prev.repSecs :+ sec,
-              prev.repLoads :+ math.max(preBusy, probeNeighbors())))
+              prev.repLoads :+ Seq(preBusy, probeNeighbors(), env.midBusy).max,
+              prev.repSteal :+ env.stealPct,
+              prev.repSpin :+ env.spinMedMs))
             System.err.println(f"[bench] local[$c] enriched RETRY: $sec%.2fs " +
-              f"(${ev / sec}%.0f ev/s, neighbors $preBusy%.1f)")
+              f"(${ev / sec}%.0f ev/s, neighbors $preBusy%.1f, " +
+              f"steal ${env.stealPct * 100}%.1f%%)")
             persistSnapshot()
         }
       }
