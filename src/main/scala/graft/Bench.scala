@@ -153,11 +153,21 @@ object Bench {
   private final case class RepEnv(midBusy: Double, stealPct: Double,
       spinMedMs: Double)
 
+  /** Read a small /proc file fully, ALWAYS closing the fd. The probes walk
+    * /proc (one open per pid + per task) every 5 s for the whole bench —
+    * `Source.fromFile(...).mkString` never closes and exhausted the fd
+    * limit mid-matrix (EMFILE on the next child fork). */
+  private def readProcFile(path: String): String = {
+    val in = new java.io.FileInputStream(path)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.US_ASCII)
+    finally in.close()
+  }
+
   /** (stealJiffies, totalJiffies) from the aggregate cpu line; (-1,-1) if
     * unreadable (never flags). */
   private def readCpuStat(): (Long, Long) =
     try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+      val cols = readProcFile("/proc/stat").linesIterator
         .next().trim.split("\\s+").drop(1).map(_.toLong)
       (if (cols.length > 7) cols(7) else 0L, cols.sum)
     } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
@@ -320,8 +330,7 @@ object Bench {
           val tasks = new java.io.File(p, "task").listFiles()
           if (tasks != null) for (t <- tasks) {
             try {
-              val stat = scala.io.Source.fromFile(
-                new java.io.File(t, "stat").getPath).mkString
+              val stat = readProcFile(new java.io.File(t, "stat").getPath)
               // state is the field after the ')' closing comm (comm itself
               // may contain spaces/parens — use the LAST ')')
               if (stat.charAt(stat.lastIndexOf(')') + 2) == 'R') running += 1
