@@ -518,6 +518,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_ivf_lloyd" -> ((s, dir) => {
+      // IVF with one deterministic Lloyd refinement of the stride seed —
+      // the oracle reproduces the k-means iteration in SQL: same argmax
+      // assignment (cosine DESC, cid ASC tie), same per-dimension
+      // round(avg, 8)-then-float centroid update, then the standard
+      // inverted-list probe against the REFINED centroids
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+        centroidStride = 10, nprobe = 4, lloydIters = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal plumbing (decode stubbed, Spark plumbing real) -------
 
     "q_multimodal" -> ((s, dir) => {
@@ -1269,8 +1281,72 @@ object SparkEntry {
         |  FROM cand
         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
         |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf_lloyd" -> ivfLloydOracle
   )
+
+  /** IVF-with-Lloyd oracle: replays [[graft.operators.Similarity.ivfTopK]]'s
+    * single k-means iteration in SQL — stride seed, cosine-argmax assignment
+    * (ties broken toward the smaller cid, like `max_by(cid, struct(ccos,
+    * -cid))`), per-dimension `round(avg(double), 8)` means cast to FLOAT
+    * (bit-identical to Spark's `array(round(avg(...), 8)*).cast
+    * ("array<float>")` — a 1-ulp rounding disagreement would shift a
+    * centroid by 1e-8, far below any cosine ordering gap) — then the
+    * standard inverted-list probe against the refined centroids. The 64
+    * per-dimension mean expressions are generated, DuckDB lists are
+    * 1-based. */
+  private val ivfLloydOracle: String = {
+    val dim = 64
+    val means = (0 until dim).map(i =>
+      s"CAST(ROUND(AVG(CAST(v[${i + 1}] AS DOUBLE)), 8) AS FLOAT)")
+      .mkString(",\n      ")
+    s"""WITH cent0 AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+       |  FROM embeddings WHERE vec_id % 10 = 0
+       |), scored0 AS (
+       |  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS ccos
+       |  FROM embeddings e CROSS JOIN cent0 c
+       |), assign0 AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id
+       |      ORDER BY ccos DESC, cid) AS r FROM scored0)
+       |  WHERE r = 1
+       |), cent AS (
+       |  SELECT cid, [
+       |      $means] AS cvecf
+       |  FROM assign0 GROUP BY cid
+       |), scored AS (
+       |  SELECT e.vec_id AS id, c.cid,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                           CAST(c.cvecf AS DOUBLE[])) AS ccos
+       |  FROM embeddings e CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT id AS neighbor_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id
+       |      ORDER BY ccos DESC, cid) AS r FROM scored)
+       |  WHERE r = 1
+       |), probes AS (
+       |  SELECT id AS query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id
+       |      ORDER BY ccos DESC, cid) AS r FROM scored WHERE id < 10)
+       |  WHERE r <= 4
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assign a ON p.cid = a.cid
+       |  WHERE a.neighbor_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+       |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                             CAST(ce.embedding AS DOUBLE[])) DESC,
+       |      cand.neighbor_id) AS rank
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Exhaustive word-3-gram jaccard pairs >= 0.5 — oracle for both the exact
     * and the minhash-LSH variant (LSH recall at 0.5 is 1-1e-8 with 64x2
