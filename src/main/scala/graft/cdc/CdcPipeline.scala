@@ -324,9 +324,22 @@ object CdcPipeline {
       else f"epoch-${rec.epoch}%08d.skip-${System.nanoTime()}.json"
     val p = new org.apache.hadoop.fs.Path(table.root, s"meta/lineage/$name")
     val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
+    // write-then-rename, never create-in-place: a crash (SIGKILL, stream
+    // stop) between create and write would leave a ZERO-LENGTH record under
+    // the final name — permanently, since a resumed consumer skip-records
+    // under a different name and never rewrites the committed slot. The
+    // dot-tmp is invisible to readLineage; a crash mid-write orphans only
+    // the tmp, which gcEpochMeta collects like the dirty-dir asides.
+    val tmp = new org.apache.hadoop.fs.Path(table.root,
+      f"meta/lineage/.tmp-epoch-${rec.epoch}%08d-${System.nanoTime()}.json")
+    val out = fs.create(tmp, true)
     try out.write(Serialization.write(rec).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      // local-FS rename-to-existing overwrites, HDFS fails it: losing means
+      // the slot is already written (same record modulo latency fields)
+      fs.delete(tmp, false): Unit
+    }
   }
 
   def readLineage(spark: SparkSession, table: SnapTable): Seq[LineageRecord] = {
@@ -337,13 +350,27 @@ object CdcPipeline {
     val dir = new org.apache.hadoop.fs.Path(table.root, "meta/lineage")
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).map { st =>
-      val in = fs.open(st.getPath)
-      try {
-        val bytes = new Array[Byte](st.getLen.toInt)
-        in.readFully(bytes)
-        Serialization.read[LineageRecord](new String(bytes, StandardCharsets.UTF_8))
-      } finally in.close()
+    fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+      // dot-names are in-flight tmps (writeLineage publishes by rename);
+      // anything unparseable is a pre-atomic-publish torn corpse — skip it
+      // loudly rather than fail the whole observability read: lineage is a
+      // sideband, and the table's own epoch guard (not lineage) is what
+      // enforces exactly-once
+      if (st.getPath.getName.startsWith(".")) None
+      else {
+        val in = fs.open(st.getPath)
+        try {
+          val bytes = new Array[Byte](st.getLen.toInt)
+          in.readFully(bytes)
+          Some(Serialization.read[LineageRecord](
+            new String(bytes, StandardCharsets.UTF_8)))
+        } catch {
+          case scala.util.control.NonFatal(t) =>
+            System.err.println(s"[lineage] skipping torn record " +
+              s"${st.getPath.getName}: ${t.getMessage}")
+            None
+        } finally in.close()
+      }
     }
   }
 

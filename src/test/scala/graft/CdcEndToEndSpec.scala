@@ -332,6 +332,20 @@ class CdcEndToEndSpec extends SparkSpec {
     assert(committed.distinct.size == committed.size)
   }
 
+  test("torn lineage records (crash between create and write) do not break the reader") {
+    val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 4)
+    CdcPipeline.applyBatch(t, Seq(ChangeEvent("c1", 1, "user", "x", null,
+      new java.sql.Timestamp(1000), 1L, "I")).toDF(), 0)
+    val dir = new org.apache.hadoop.fs.Path(t.root, "meta/lineage")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // a zero-length record under a FINAL name (the pre-atomic-publish crash
+    // corpse) and an in-flight dot-tmp: the reader must skip both
+    fs.create(new org.apache.hadoop.fs.Path(dir, "epoch-00000007.json"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(dir, ".tmp-epoch-00000009-1.json"), true).close()
+    val recs = CdcPipeline.readLineage(spark, t)
+    assert(recs.map(_.epoch) == Seq(0L) && recs.head.result == "committed")
+  }
+
   test("merge-on-read epochs are idempotent and auto-compact bounds deltas") {
     val t = SnapTable.create(spark, tmpDir("table"), Schemas.payloadV2, numBuckets = 2)
     val opts = PipelineOptions(mergeMode = "mor", morCompactDeltasPerBucket = 2)
