@@ -272,7 +272,7 @@ object Bench {
 
   // ---- incrementally-built result state (readable from a shutdown hook) ---
 
-  private final case class Level(events: Long, repSecs: Seq[Double],
+  private[graft] final case class Level(events: Long, repSecs: Seq[Double],
       repLoads: Seq[Double] = Nil, repSteal: Seq[Double] = Nil,
       repSpin: Seq[Double] = Nil) {
     def bestSec: Double = repSecs.min
@@ -291,11 +291,40 @@ object Bench {
       * local[32] rep fair-shares the probe to ~33/32, far below 2x).
       * (Probes are instantaneous runnable counts, not the 1-minute loadavg,
       * whose decay tail from the bench's OWN just-exited children flagged
-      * clean levels as contended in earlier rounds.) */
-    def contended: Boolean = repSecs.max / repSecs.min > 3.0 ||
-      repLoads.exists(_ > 2.0) ||
-      bestRepSteal > 0.25 ||
-      bestRepSlowdown > 2.0
+      * clean levels as contended in earlier rounds.)
+      *
+      * The spread test runs over the CLEAN reps only — reps whose own
+      * window showed no measurable hypervisor interference (steal <= 5%
+      * and spin slowdown <= 1.5x). A rep that demonstrably ran under
+      * interference explains its own slowness: an N-way-parallel stage's
+      * wall time is the max over its tasks, so even moderate per-core
+      * steal amplifies into a large wall multiplier (observed live: one
+      * local[32] rep at 189 s under 11.8% steal / 1.9x spin beside a
+      * 15.0 s rep at 0.1% steal — a 12.6x "spread" fully correlated with
+      * the recorded interference). Letting such a rep inflate the spread
+      * would re-flag a level whose best rep is clean — exactly the noise
+      * the spread test exists to catch, not to create. The exclusion
+      * gates are deliberately TIGHTER than the best-rep trust gates below
+      * (25% / 2x): a best rep under mild interference only understates
+      * throughput — the conservative direction — while a dirty rep left
+      * in the spread manufactures a false flag. A level with NO clean rep
+      * falls back to all-rep spread and flags via the best-rep probes
+      * anyway. */
+    def contended: Boolean = {
+      val clean = cleanRepSecs
+      val spreadSecs = if (clean.nonEmpty) clean else repSecs
+      spreadSecs.max / spreadSecs.min > 3.0 ||
+        repLoads.exists(_ > 2.0) ||
+        bestRepSteal > 0.25 ||
+        bestRepSlowdown > 2.0
+    }
+    /** Seconds of reps whose OWN window was hypervisor-quiet. */
+    def cleanRepSecs: Seq[Double] = {
+      val quiet = if (minSpinMs == Double.MaxValue) 0.0 else minSpinMs
+      repSecs.zipAll(repSteal, 0.0, 0.0).zipAll(repSpin, (0.0, 0.0), 0.0)
+        .collect { case ((sec, steal), spin)
+          if steal <= 0.05 && (quiet == 0.0 || spin / quiet <= 1.5) => sec }
+    }
     /** Environment during the BEST rep (the one reported): a slow rep under
       * steal that a later quiet rep beat does not poison the level. */
     def bestRepSteal: Double = bestRepOf(repSteal)
@@ -603,8 +632,10 @@ object Bench {
         }
       }
       into.get(c).filter(_.contended).foreach { lv =>
+        val cl = lv.cleanRepSecs
         System.err.println(
           f"[bench] WARNING local[$c] rep spread ${lv.repSecs.max / lv.repSecs.min}%.1fx" +
+            (if (cl.nonEmpty) f" (clean-rep spread ${cl.max / cl.min}%.1fx over ${cl.size} reps)" else " (no clean rep)") +
             f" / max neighbors ${(lv.repLoads :+ 0.0).max}%.1f" +
             f" / best-rep steal ${lv.bestRepSteal * 100}%.1f%%" +
             f" / best-rep cpu slowdown ${lv.bestRepSlowdown}%.2fx — host " +
