@@ -232,7 +232,10 @@ object Bench {
     val sampler = new Thread(() =>
       try while (proc.isAlive) {
         Thread.sleep(5000)
-        midSamples.add(math.max(0.0, runnableNow() - cores))
+        // subtract the child's own expected R-state threads: `cores` task
+        // threads, the driver thread, and one GC-worker beat of headroom —
+        // counting our own driver/GC as "neighbors" flagged quiet reps
+        midSamples.add(math.max(0.0, runnableNow() - (cores + 2)))
         spinSamples.add(spinProbe())
       } catch { case _: InterruptedException => () })
     sampler.setDaemon(true)
@@ -314,17 +317,24 @@ object Bench {
       val clean = cleanRepSecs
       val spreadSecs = if (clean.nonEmpty) clean else repSecs
       spreadSecs.max / spreadSecs.min > 3.0 ||
-        repLoads.exists(_ > 2.0) ||
+        bestRepLoad > 2.0 ||
         bestRepSteal > 0.25 ||
         bestRepSlowdown > 2.0
     }
-    /** Seconds of reps whose OWN window was hypervisor-quiet. */
+    /** Seconds of reps whose OWN window was quiet — no hypervisor
+      * interference AND no same-guest neighbors (a neighbor burst on one
+      * non-best rep explains that rep's slowness the same way steal does,
+      * and must not inflate the spread or flag a level whose best rep ran
+      * alone — the same false-flag mode the steal exclusion fixed). */
     def cleanRepSecs: Seq[Double] = {
       val quiet = if (minSpinMs == Double.MaxValue) 0.0 else minSpinMs
       repSecs.zipAll(repSteal, 0.0, 0.0).zipAll(repSpin, (0.0, 0.0), 0.0)
-        .collect { case ((sec, steal), spin)
-          if steal <= 0.05 && (quiet == 0.0 || spin / quiet <= 1.5) => sec }
+        .zipAll(repLoads, ((0.0, 0.0), 0.0), 0.0)
+        .collect { case (((sec, steal), spin), load)
+          if steal <= 0.05 && load <= 2.0 &&
+            (quiet == 0.0 || spin / quiet <= 1.5) => sec }
     }
+    private def bestRepLoad: Double = bestRepOf(repLoads)
     /** Environment during the BEST rep (the one reported): a slow rep under
       * steal that a later quiet rep beat does not poison the level. */
     def bestRepSteal: Double = bestRepOf(repSteal)
@@ -467,8 +477,13 @@ object Bench {
     def effS(a: Int, b: Int): String =
       effNum(a, b).map(e => f"$e%.3f").getOrElse("null")
     import scala.jdk.CollectionConverters._
+    // flagged enriched levels (core counts), so a stdout-only consumer can
+    // tell poisoned numbers from clean ones without the sidecar
+    val flagged = enriched.toSeq.collect { case (c, l) if l.contended => c }
+      .sorted.mkString("[", ",", "]")
     f"""{"metric":"cdc_enriched_events_per_sec_peak","value":$headlineThr%.0f,""" +
-      s""""unit":"events/sec","criterion":{"local1_sec":${sec(enriched, 1)},""" +
+      s""""unit":"events/sec","contended_levels":$flagged,""" +
+      s""""criterion":{"local1_sec":${sec(enriched, 1)},""" +
       s""""local4_sec":${sec(enriched, 4)},"eff_1_to_4":${effS(1, 4)},""" +
       s""""eff_8_to_32":${effS(8, 32)}},""" +
       s""""ledger_local8_sec":${sec(ledger, 8)},""" +

@@ -206,11 +206,13 @@ object CdcPipeline {
         // window; its version got skipped and its manifest hangs off a dead
         // branch) must never be recorded as a silent success — the epoch's
         // rows are unreachable from the current snapshot and need replay
-        case MergeResult.Committed(v, rows, b, _, true) =>
+        case MergeResult.Committed(v, _, b, _, true) =>
           System.err.println(s"[pipeline] WARNING epoch $epoch commit v$v is " +
             "ORPHANED (off the current snapshot chain — writer paused past " +
             "the torn-claim grace window); its rows were NOT applied")
-          (rows, b, "orphaned")
+          // rowsApplied = 0, like skipped_epoch: the rows went to a dead
+          // branch, and a consumer summing rowsApplied must not count them
+          (0L, b, "orphaned")
         case MergeResult.Committed(_, rows, b, _, _) => (rows, b, "committed")
         case MergeResult.SkippedEpoch => (0L, 0, "skipped_epoch")
       }
@@ -336,9 +338,15 @@ object CdcPipeline {
     try out.write(Serialization.write(rec).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, p)) {
-      // local-FS rename-to-existing overwrites, HDFS fails it: losing means
-      // the slot is already written (same record modulo latency fields)
-      fs.delete(tmp, false): Unit
+      // local-FS rename-to-existing overwrites; HDFS fails it. An occupied
+      // committed slot is NOT always the same record: a replayed epoch that
+      // previously ORPHANED re-commits on-chain and must overwrite its
+      // "orphaned" record, or replay tooling keeps alerting on an epoch
+      // that is actually applied — so displace and retry once. (Exactly one
+      // writer commits a given epoch, so the displaced record can only be
+      // this epoch's own earlier corpse.)
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false): Unit
     }
   }
 

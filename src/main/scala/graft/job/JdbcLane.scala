@@ -216,18 +216,23 @@ object JdbcLane {
             // only the slice-boundary rows by global rank. The boundary
             // values themselves are exact quantiles, so a skewed string pk
             // still yields balanced slices.
-            val nonNull = probe.na.drop(Seq(gpk.name))
-            val n = nonNull.count()
-            if (n == 0) Seq("1=1")
-            else {
-              val ranks = (1 until slices).map(i => i * n / slices)
-                .filter(r => r > 0 && r < n).toSet
-              val pts = nonNull.sort(gpk.name).rdd.zipWithIndex()
-                .filter { case (_, idx) => ranks.contains(idx) }
-                .map(_._1.get(0).toString).collect().toSeq.distinct
-              if (pts.isEmpty) Seq("1=1")
-              else JdbcSplit.sampledSlices(pk, pts, quoted = true).map(_.toSql)
-            }
+            // persist the SORTED probe: count, zipWithIndex's offset pass
+            // and the boundary collect otherwise each re-run the (single-
+            // connection, dominant-cost) JDBC scan — one scan, three reads
+            val sorted = probe.na.drop(Seq(gpk.name)).sort(gpk.name).persist()
+            try {
+              val n = sorted.count()
+              if (n == 0) Seq("1=1")
+              else {
+                val ranks = (1 until slices).map(i => i * n / slices)
+                  .filter(r => r > 0 && r < n).toSet
+                val pts = sorted.rdd.zipWithIndex()
+                  .filter { case (_, idx) => ranks.contains(idx) }
+                  .map(_._1.get(0).toString).collect().toSeq.distinct
+                if (pts.isEmpty) Seq("1=1")
+                else JdbcSplit.sampledSlices(pk, pts, quoted = true).map(_.toSql)
+              }
+            } finally sorted.unpersist(): Unit
           }
       }
     } else rangeSlices(url, user, pass, dialect, pk, table, where, slices, sessionSqls)

@@ -132,7 +132,16 @@ object JdbcSplit {
   def sampledSlices(pk: String, points: Seq[String], quoted: Boolean,
       nullSlice: Boolean = true): Seq[Slice] = {
     require(points.nonEmpty, "sampled split needs at least one point")
-    val sorted = points.distinct.sorted
+    // numeric points arrive as decimal STRINGS (Oracle SAMPLE resultset,
+    // approxQuantile BigInts) — a lexicographic sort misorders mixed-width
+    // values ("1000" < "500"), which turns the sliding ranges into
+    // overlapping slices that read rows twice; sort by numeric value
+    // whenever every point parses as one
+    val distinct = points.distinct
+    val sorted =
+      if (distinct.forall(p => scala.util.Try(BigDecimal(p)).isSuccess))
+        distinct.sortBy(BigDecimal(_))
+      else distinct.sorted
     val first = Slice(pk, None, Some(sorted.head), hiInclusive = false, quoted = quoted)
     val mids = sorted.sliding(2).collect { case Seq(lo, hi) =>
       Slice(pk, Some(lo), Some(hi), hiInclusive = false, quoted = quoted)

@@ -847,10 +847,29 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    * instead of per-epoch.
    */
   def compact(spark: SparkSession): Long = {
-    retryingCommit(compactAttempt(spark)) match {
-      case MergeResult.Committed(_, _, buckets, _, _) => buckets.toLong
-      case MergeResult.SkippedEpoch => 0L
-    }
+    // an ORPHANED compact (stalled past the claim grace; a concurrent
+    // writer committed ahead on a different parent) rewrote buckets onto a
+    // dead branch — the live chain's deltas still stand, so recompute
+    // against the current chain rather than report buckets that never
+    // landed. Bounded: orphaning needs a >grace-window stall, so repeats
+    // mean something is pathologically wrong with this process.
+    @annotation.tailrec
+    def go(attempt: Int): Long =
+      retryingCommit(compactAttempt(spark)) match {
+        case MergeResult.Committed(v, _, buckets, _, orphaned) =>
+          if (!orphaned) buckets.toLong
+          else if (attempt >= 3) {
+            System.err.println(s"[snaptable] compact version $v ORPHANED " +
+              "3x — giving up; deltas remain and the next policy compaction retries")
+            0L
+          } else {
+            System.err.println(s"[snaptable] compact version $v ORPHANED " +
+              "(stalled past claim grace) — recomputing against the current chain")
+            go(attempt + 1)
+          }
+        case MergeResult.SkippedEpoch => 0L
+      }
+    go(1)
   }
 
   private def compactAttempt(spark: SparkSession): Option[MergeResult] = {
@@ -882,7 +901,8 @@ final class SnapTable private (val root: String, fs: FileSystem) {
     if (!committed) { fs.delete(new Path(root, commitRel), true); return None }
     // bucketsRewritten carries the FILE count here (compact's caller-facing
     // "filesRewritten" metric)
-    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, rewrite.size, false))
+    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, rewrite.size, false,
+      orphaned = !onCurrentChain(newVersion)))
   }
 
   /**
@@ -900,7 +920,25 @@ final class SnapTable private (val root: String, fs: FileSystem) {
    */
   def rebucket(spark: SparkSession, newBuckets: Int): Unit = {
     require(newBuckets >= 1, "need at least one bucket")
-    retryingCommit(rebucketAttempt(spark, newBuckets)): Unit
+    // an ORPHANED rebucket landed the new layout on a dead branch — the
+    // live chain still has the OLD layout and stamp, so silently returning
+    // would leave the caller believing a migration that never happened.
+    // Recompute against the current chain; if it keeps orphaning, fail
+    // loudly — an explicit migration must not no-op.
+    @annotation.tailrec
+    def go(attempt: Int): Unit =
+      retryingCommit(rebucketAttempt(spark, newBuckets)) match {
+        case MergeResult.Committed(v, _, _, _, true) =>
+          if (attempt >= 3)
+            throw new IllegalStateException(s"rebucket version $v orphaned " +
+              "3x (writer repeatedly stalled past the claim grace window) — " +
+              "layout NOT migrated")
+          System.err.println(s"[snaptable] rebucket version $v ORPHANED " +
+            "(stalled past claim grace) — recomputing against the current chain")
+          go(attempt + 1)
+        case _ => ()
+      }
+    go(1)
   }
 
   private def rebucketAttempt(spark: SparkSession, newBuckets: Int): Option[MergeResult] = {
@@ -925,7 +963,8 @@ final class SnapTable private (val root: String, fs: FileSystem) {
       numBuckets = newBuckets, files = written, rows = written.map(_.rows).sum,
       props = snap.props + (PropBucketFn -> BucketFnVersion.toString)))
     if (!committed) { fs.delete(new Path(root, commitRel), true); return None }
-    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, newBuckets, false))
+    Some(MergeResult.Committed(newVersion, written.map(_.rows).sum, newBuckets, false,
+      orphaned = !onCurrentChain(newVersion)))
   }
 
   /** Drop tombstones older than `lsnWatermark` by rewriting their buckets —

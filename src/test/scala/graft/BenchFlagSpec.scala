@@ -44,9 +44,18 @@ class BenchFlagSpec extends AnyFunSuite {
     assert(!l.contended)
   }
 
-  test("neighbor-runnable load above 2 flags regardless of spread") {
+  test("neighbor-runnable load above 2 on the BEST rep flags regardless of spread") {
     val l = level(Seq(20.0, 20.5), steal = Seq(0.0, 0.0), loads = Seq(3.0, 0.0))
     assert(l.contended)
+  }
+
+  test("a neighbor burst on a slow non-best rep neither flags nor inflates the spread") {
+    // same false-flag mode as the steal case: rep1 ran beside a same-guest
+    // burst (load 3.0) and 4x slow; rep2 ran alone and fastest — the level
+    // is trustworthy via its clean best rep
+    val l = level(Seq(80.0, 20.0), steal = Seq(0.0, 0.0), loads = Seq(3.0, 0.0))
+    assert(l.cleanRepSecs == Seq(20.0))
+    assert(!l.contended)
   }
 
   test("best reported second always comes from the fastest rep") {

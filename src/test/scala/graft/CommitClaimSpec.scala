@@ -156,6 +156,32 @@ class CommitClaimSpec extends SparkSpec {
     assert(lin.exists(_.result == "orphaned"))
   }
 
+  test("an orphaned compact recomputes against the current chain (deltas still fold)") {
+    val root = tmpDir("orphan-compact")
+    val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)
+    val opts = graft.cdc.PipelineOptions(mergeMode = "mor",
+      morCompactDeltasPerBucket = Int.MaxValue)
+    CdcPipeline.applyBatch(t, (1 to 10).map(i => ev(i, 100 + i)).toDF(), 0, opts)
+    CdcPipeline.applyBatch(t, (1 to 10).map(i => ev(i, 200 + i)).toDF(), 1, opts)
+    assert(t.deltaFileCount > 0)
+    val preState = t.read(spark).select("text").as[String].collect().sorted.toSeq
+    // first compact attempt orphans (concurrent writer B skips its slot and
+    // commits ahead with a different parent, like the merge orphan test);
+    // the retry must land the fold on B's chain
+    val prevHook = t.beforeCommitHook
+    var fired = false
+    t.beforeCommitHook = () => if (!fired) {
+      fired = true
+      val cur = t.currentVersion
+      t.commit(t.snapshot(cur).copy(version = cur + 2, parent = cur,
+        props = t.snapshot(cur).props + ("writer" -> "B")))
+    }
+    val buckets = try t.compact(spark) finally t.beforeCommitHook = prevHook
+    assert(buckets > 0, "retried compact reported no folded buckets")
+    assert(t.deltaFileCount == 0, "current chain still has deltas")
+    assert(t.read(spark).select("text").as[String].collect().sorted.toSeq == preState)
+  }
+
   test("pre-stamp tables re-stamp without a rewrite (stampBucketFn)") {
     val root = tmpDir("prestamp")
     val t = SnapTable.create(spark, root, Schemas.payloadV2, numBuckets = 4)

@@ -91,6 +91,24 @@ class JdbcSpec extends SparkSpec {
       "pk < 10", "pk >= 10 AND pk < 20", "pk >= 20 AND pk < 30", "pk >= 30", "pk IS NULL"))
   }
 
+  test("sampled split orders mixed-width numeric points numerically, not lexicographically") {
+    // "1000" < "500" as strings: a lexicographic sort yields overlapping
+    // slices that read rows 500..1499 twice
+    val slices = JdbcSplit.sampledSlices("pk", Seq("500", "1000", "1500"), quoted = false)
+    assert(slices.map(_.toSql) == Seq(
+      "pk < 500", "pk >= 500 AND pk < 1000", "pk >= 1000 AND pk < 1500",
+      "pk >= 1500", "pk IS NULL"))
+    // every value matches exactly one slice (no gap, no overlap)
+    for (v <- Seq(0, 499, 500, 999, 1000, 1499, 1500, 9999)) {
+      val hits = slices.count(s => !s.isNullSlice && {
+        val lo = s.lo.forall(l => v >= l.toInt)
+        val hi = s.hi.forall(h => if (s.hiInclusive) v <= h.toInt else v < h.toInt)
+        lo && hi
+      })
+      assert(hits == 1, s"$v matched $hits slices")
+    }
+  }
+
   test("shard-table pattern expansion and table-mode slice multiplier") {
     assert(JdbcSplit.expandTables("orders_[00-03]") ==
       Seq("orders_00", "orders_01", "orders_02", "orders_03"))
