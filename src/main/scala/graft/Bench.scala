@@ -588,11 +588,16 @@ object Bench {
       * subsequent kill still reports the level. */
     def measure(c: Int, mode: String, maxReps: Int,
         into: TrieMap[Int, Level]): Unit = {
-      var reps = Vector.empty[Double]
-      var loads = Vector.empty[Double]
-      var steals = Vector.empty[Double]
-      var spins = Vector.empty[Double]
-      var events = 0L
+      // seed from any prior call's Level so repeated measure() calls for
+      // the same (mode, level) ACCUMULATE reps (the interleaved
+      // ledger/fstream legs call measure twice per mode) instead of
+      // overwriting the earlier rep
+      val prior = into.get(c)
+      var reps = prior.map(_.repSecs.toVector).getOrElse(Vector.empty)
+      var loads = prior.map(_.repLoads.toVector).getOrElse(Vector.empty)
+      var steals = prior.map(_.repSteal.toVector).getOrElse(Vector.empty)
+      var spins = prior.map(_.repSpin.toVector).getOrElse(Vector.empty)
+      var events = prior.map(_.events).getOrElse(0L)
       var rep = 1
       var stop = false
       while (rep <= maxReps && !stop) {
@@ -714,8 +719,14 @@ object Bench {
     // secondary evidence, budget permitting. The ledger-vs-filestream pair
     // runs first: it is the streaming-source comparison the O(chunks)
     // driver-state claim rides on (same enriched merge work, one drain
-    // trigger — any ledger-source throughput cost shows here)
+    // trigger — any ledger-source throughput cost shows here). INTERLEAVED
+    // L,F,L,F with 2 reps each: three single-rep official runs in a row had
+    // one leg hit a steal burst the other missed, making the comparison a
+    // coin-flip of host noise; interleaving puts both sources under the
+    // same window and best-of-2 absorbs one unlucky rep
     Seq(8).filter(cdcCores.contains).foreach { c =>
+      measure(c, "enriched-ledger", 1, ledger)
+      measure(c, "enriched-fstream", 1, fstream)
       measure(c, "enriched-ledger", 1, ledger)
       measure(c, "enriched-fstream", 1, fstream)
       measure(c, "raw", 1, raw)
